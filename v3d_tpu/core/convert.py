@@ -1,0 +1,238 @@
+"""Torch checkpoint -> JAX pytree weight conversion.
+
+The reference ships its weights as svd_xt.safetensors / V3D_512.ckpt torch
+state dicts (scripts/pub/V3D_512.py:145-162 splits one file by key prefix
+into CLIP / AE / engine).  This module translates those key layouts into our
+flax param trees:
+
+- Linear:  torch (out, in)            -> flax kernel (in, out)      [transpose]
+- Conv2d:  torch (O, I, kh, kw)       -> flax kernel (kh, kw, I, O)
+- Conv3d:  torch (O, I, kt, kh, kw)   -> flax kernel (kt, kh, kw, I, O)
+- GroupNorm/LayerNorm: weight -> scale
+
+Each converter is a pure function state_dict -> nested param dict and raises
+on unrecognized keys so checkpoint drift is caught loudly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def t2j(t) -> np.ndarray:
+    """torch tensor -> numpy (f32)."""
+    return np.asarray(t.detach().cpu().float().numpy())
+
+
+def _linear_w(t):
+    return t2j(t).T
+
+
+def _conv2_w(t):
+    return t2j(t).transpose(2, 3, 1, 0)
+
+
+def _conv3_w(t):
+    return t2j(t).transpose(2, 3, 4, 1, 0)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# sub-module translators: given the remainder of a torch key, return
+# (flax subpath, transform) or None
+# ---------------------------------------------------------------------------
+
+def _norm_path(name: str, kind: str, param: str) -> Tuple[str, ...]:
+    inner = "GroupNorm_0" if kind == "gn" else "LayerNorm_0"
+    leaf = {"weight": "scale", "bias": "bias"}[param]
+    return (name, inner, leaf)
+
+
+def _map_linear(name: str, param: str):
+    if param == "weight":
+        return (name, "kernel"), _linear_w
+    return (name, "bias"), t2j
+
+
+def _map_conv(name: str, param: str, dims: int = 2):
+    if param == "weight":
+        return (name, "kernel"), _conv2_w if dims == 2 else _conv3_w
+    return (name, "bias"), t2j
+
+
+def _map_plain_resblock(rest: str, prefix: Tuple[str, ...], dims: int = 2):
+    """torch ResBlock (openaimodel.py:220) -> flax models.layers.ResBlock."""
+    m = re.match(r"in_layers\.0\.(weight|bias)$", rest)
+    if m:
+        return prefix + _norm_path("in_norm", "gn", m.group(1)), t2j
+    m = re.match(r"in_layers\.2\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv("in_conv", m.group(1), dims)
+        return prefix + p, f
+    m = re.match(r"emb_layers\.1\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_linear("emb_linear", m.group(1))
+        return prefix + p, f
+    m = re.match(r"out_layers\.0\.(weight|bias)$", rest)
+    if m:
+        return prefix + _norm_path("out_norm", "gn", m.group(1)), t2j
+    m = re.match(r"out_layers\.3\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv("out_conv", m.group(1), dims)
+        return prefix + p, f
+    m = re.match(r"skip_connection\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv("skip_conv", m.group(1), dims)
+        return prefix + p, f
+    return None
+
+
+def _map_video_resblock(rest: str, prefix: Tuple[str, ...]):
+    """video_model.py VideoResBlock: spatial ResBlock fields live at the top
+    level, temporal ones under time_stack., plus time_mixer.mix_factor."""
+    if rest == "time_mixer.mix_factor":
+        return prefix + ("time_mixer", "mix_factor"), t2j
+    if rest.startswith("time_stack."):
+        return _map_plain_resblock(rest[len("time_stack."):],
+                                   prefix + ("time_stack",), dims=3)
+    return _map_plain_resblock(rest, prefix + ("spatial",), dims=2)
+
+
+def _map_cross_attention(rest: str, prefix: Tuple[str, ...]):
+    m = re.match(r"to_(q|k|v)\.weight$", rest)
+    if m:
+        return prefix + (f"to_{m.group(1)}", "kernel"), _linear_w
+    m = re.match(r"to_out\.0\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_linear("to_out", m.group(1))
+        return prefix + p, f
+    return None
+
+
+def _map_feedforward(rest: str, prefix: Tuple[str, ...]):
+    m = re.match(r"net\.0\.proj\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_linear("proj", m.group(1))
+        return prefix + ("net_0",) + p, f
+    m = re.match(r"net\.2\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_linear("net_2", m.group(1))
+        return prefix + p, f
+    return None
+
+
+def _map_transformer_block(rest: str, prefix: Tuple[str, ...]):
+    """BasicTransformerBlock / VideoTransformerBlock fields."""
+    for attn in ("attn1", "attn2"):
+        if rest.startswith(attn + "."):
+            return _map_cross_attention(rest[len(attn) + 1:], prefix + (attn,))
+    for norm in ("norm_in", "norm1", "norm2", "norm3"):
+        m = re.match(norm + r"\.(weight|bias)$", rest)
+        if m:
+            return prefix + _norm_path(norm, "ln", m.group(1)), t2j
+    if rest.startswith("ff_in."):
+        return _map_feedforward(rest[len("ff_in."):], prefix + ("ff_in",))
+    if rest.startswith("ff."):
+        return _map_feedforward(rest[len("ff."):], prefix + ("ff",))
+    return None
+
+
+def _map_spatial_video_transformer(rest: str, prefix: Tuple[str, ...]):
+    m = re.match(r"norm\.(weight|bias)$", rest)
+    if m:
+        return prefix + _norm_path("norm", "gn", m.group(1)), t2j
+    m = re.match(r"proj_(in|out)\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_linear(f"proj_{m.group(1)}", m.group(2))
+        return prefix + p, f
+    m = re.match(r"time_pos_embed\.(0|2)\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_linear(f"time_pos_embed_{m.group(1)}", m.group(2))
+        return prefix + p, f
+    if rest == "time_mixer.mix_factor":
+        return prefix + ("time_mixer", "mix_factor"), t2j
+    m = re.match(r"transformer_blocks\.(\d+)\.(.*)$", rest)
+    if m:
+        return _map_transformer_block(m.group(2), prefix + (f"blocks_{m.group(1)}",))
+    m = re.match(r"time_stack\.(\d+)\.(.*)$", rest)
+    if m:
+        return _map_transformer_block(m.group(2), prefix + (f"time_stack_{m.group(1)}",))
+    return None
+
+
+def _map_unet_layer(rest: str, prefix: Tuple[str, ...]):
+    """Translate one layer inside a TimestepEmbedSequential."""
+    # Downsample / Upsample
+    m = re.match(r"op\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv("op", m.group(1))
+        return prefix + p, f
+    m = re.match(r"conv\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv("conv", m.group(1))
+        return prefix + p, f
+    # plain conv (input_blocks.0.0)
+    m = re.match(r"(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv(prefix[-1], m.group(1))
+        return prefix[:-1] + p, f
+    out = _map_spatial_video_transformer(rest, prefix)
+    if out is not None:
+        return out
+    return _map_video_resblock(rest, prefix)
+
+
+def convert_video_unet(state_dict: Dict) -> Dict:
+    """Torch VideoUNet state_dict -> flax params for models.video_unet.VideoUNet.
+
+    Key skeleton mirrors video_model.py:84-440; our flax names in_{i}_{j} /
+    mid_{j} / out_{i}_{j} use the same (block, layer) indices as torch's
+    input_blocks.{i}.{j} / middle_block.{j} / output_blocks.{i}.{j}.
+    """
+    tree: Dict = {}
+    unknown = []
+    for key, val in state_dict.items():
+        out = _convert_unet_key(key)
+        if out is None:
+            unknown.append(key)
+            continue
+        path, fn = out
+        _set(tree, path, fn(val))
+    if unknown:
+        raise KeyError(f"unrecognized VideoUNet keys: {unknown[:10]} "
+                       f"(+{max(0, len(unknown) - 10)} more)")
+    return tree
+
+
+def _convert_unet_key(key: str):
+    m = re.match(r"time_embed\.(0|2)\.(weight|bias)$", key)
+    if m:
+        return _map_linear(f"time_embed_{m.group(1)}", m.group(2))
+    m = re.match(r"label_emb\.0\.(0|2)\.(weight|bias)$", key)
+    if m:
+        return _map_linear(f"label_emb_{m.group(1)}", m.group(2))
+    m = re.match(r"out\.0\.(weight|bias)$", key)
+    if m:
+        return _norm_path("out_norm", "gn", m.group(1)), t2j
+    m = re.match(r"out\.2\.(weight|bias)$", key)
+    if m:
+        return _map_conv("out_conv", m.group(1))
+    m = re.match(r"input_blocks\.(\d+)\.(\d+)\.(.*)$", key)
+    if m:
+        return _map_unet_layer(m.group(3), (f"in_{m.group(1)}_{m.group(2)}",))
+    m = re.match(r"middle_block\.(\d+)\.(.*)$", key)
+    if m:
+        return _map_unet_layer(m.group(2), (f"mid_{m.group(1)}",))
+    m = re.match(r"output_blocks\.(\d+)\.(\d+)\.(.*)$", key)
+    if m:
+        return _map_unet_layer(m.group(3), (f"out_{m.group(1)}_{m.group(2)}",))
+    return None

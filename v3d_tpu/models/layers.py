@@ -1,0 +1,243 @@
+"""Shared NN building blocks for the diffusion UNets (TPU layout: NHWC).
+
+Counterparts of sgm/modules/diffusionmodules/util.py and openaimodel.py.
+Design notes for the TPU port:
+
+- Layout is NHWC / NDHWC (channels-last) so convolutions hit the MXU without
+  layout transposes; the reference is NCHW.
+- Normalizations always compute in float32 regardless of the compute dtype
+  (GroupNorm32 semantics, util.py:274-277) — this is what keeps bf16 UNet
+  evaluation numerically close to the f32 reference.
+- Stride-2 convolutions use explicit symmetric (1,1) padding to match torch's
+  ``padding=1`` (XLA 'SAME' pads asymmetrically at stride 2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = jnp.dtype
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000,
+                       repeat_only: bool = False) -> jnp.ndarray:
+    """Sinusoidal embeddings, cos-first (diffusionmodules/util.py:207-231)."""
+    if repeat_only:
+        return jnp.repeat(timesteps[:, None], dim, axis=-1)
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) evaluated in f32, output cast back to input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm evaluated in f32 (torch nn.LayerNorm default eps 1e-5)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                           param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return out.astype(dtype)
+
+
+def conv_nd(features: int, kernel_size, *, strides=None, padding="SAME",
+            dtype=None, zero_init: bool = False, name: Optional[str] = None):
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    bias_init = nn.initializers.zeros
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel_size),
+        strides=strides,
+        padding=padding,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
+        name=name,
+    )
+
+
+def dense(features: int, *, use_bias: bool = True, dtype=None,
+          zero_init: bool = False, name: Optional[str] = None):
+    kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, kernel_init=kernel_init, name=name)
+
+
+class AlphaBlender(nn.Module):
+    """Spatial/temporal mixing (diffusionmodules/util.py:312-369).
+
+    ``merge_strategy``:
+      - "fixed": constant alpha
+      - "learned": sigmoid(learned scalar)
+      - "learned_with_images": per-(batch, frame) — alpha forced to 1
+        (spatial-only) where ``image_only_indicator`` is set, else
+        sigmoid(learned scalar).
+
+    ``alpha_shape`` controls broadcasting of the (b, t) alpha:
+      - "btc": tokens laid out ((b t), s, c) -> alpha ((b t), 1, 1)
+      - "bthwc": video laid out (b, t, h, w, c) -> alpha (b, t, 1, 1, 1)
+    """
+
+    alpha: float = 0.5
+    merge_strategy: str = "learned_with_images"
+    alpha_shape: str = "btc"
+
+    @nn.compact
+    def __call__(self, x_spatial, x_temporal, image_only_indicator=None):
+        if self.merge_strategy == "fixed":
+            alpha = jnp.asarray(self.alpha, jnp.float32)
+        elif self.merge_strategy in ("learned", "learned_with_images"):
+            mix = self.param("mix_factor", lambda k: jnp.asarray([self.alpha], jnp.float32))
+            alpha = jax.nn.sigmoid(mix[0])
+        else:
+            raise ValueError(f"unknown merge strategy {self.merge_strategy}")
+
+        if self.merge_strategy == "learned_with_images":
+            if image_only_indicator is None:
+                raise ValueError("learned_with_images needs image_only_indicator")
+            alpha = jnp.where(image_only_indicator.astype(bool), 1.0, alpha)  # (b, t)
+            if self.alpha_shape == "btc":
+                alpha = alpha.reshape(-1)[:, None, None]          # ((b t), 1, 1)
+            elif self.alpha_shape == "bthwc":
+                alpha = alpha[:, :, None, None, None]              # (b, t, 1, 1, 1)
+            else:
+                raise ValueError(self.alpha_shape)
+
+        alpha = jnp.asarray(alpha, x_spatial.dtype)
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class Upsample(nn.Module):
+    """Nearest x2 upsample + conv (openaimodel.py:117-168)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (b, h, w, c)
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = conv_nd(self.out_channels, (3, 3), dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv downsample (openaimodel.py:170-218)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return conv_nd(self.out_channels, (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)], dtype=self.dtype, name="op")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """GN-SiLU-conv ResBlock with timestep-embedding bias
+    (openaimodel.py:220-365).
+
+    ``dims=2`` operates on (b, h, w, c); ``dims=3`` on (b, t, h, w, c) with
+    ``kernel_size`` like (3, 1, 1) giving a temporal-only conv.
+    ``exchange_temb_dims``: emb arrives (b, t, c) and is broadcast per-frame
+    over (b, t, h, w, c) (openaimodel.py:355-360).
+    """
+
+    out_channels: int
+    dims: int = 2
+    kernel_size: Union[int, Sequence[int]] = 3
+    use_scale_shift_norm: bool = False
+    exchange_temb_dims: bool = False
+    skip_t_emb: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, emb):
+        ks = self.kernel_size
+        if isinstance(ks, int):
+            ks = (ks,) * (self.dims)
+        ks = tuple(ks)
+        pad = [(k // 2, k // 2) for k in ks]
+
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = _nearest_up2(h)
+            x = _nearest_up2(x)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = conv_nd(self.out_channels, ks, padding=pad, dtype=self.dtype,
+                    name="in_conv")(h)
+
+        if not self.skip_t_emb:
+            emb_ch = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
+            emb_out = dense(emb_ch, dtype=self.dtype, name="emb_linear")(nn.silu(emb))
+            emb_out = emb_out.astype(h.dtype)
+            if self.exchange_temb_dims:
+                # emb: (b, t, c) -> broadcast over (b, t, h, w, c)
+                emb_out = emb_out[:, :, None, None, :]
+            else:
+                # emb: (n, c) -> broadcast over trailing spatial dims
+                emb_out = emb_out.reshape(
+                    emb_out.shape[:1] + (1,) * (h.ndim - 2) + emb_out.shape[-1:]
+                )
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+        else:
+            if not self.skip_t_emb:
+                h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = conv_nd(self.out_channels, ks, padding=pad, dtype=self.dtype,
+                    zero_init=True, name="out_conv")(h)
+
+        if x.shape[-1] != self.out_channels:
+            x = conv_nd(self.out_channels, (1,) * self.dims, dtype=self.dtype,
+                        name="skip_conv")(x)
+        return x + h
+
+
+def _nearest_up2(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
