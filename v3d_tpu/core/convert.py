@@ -236,3 +236,112 @@ def _convert_unet_key(key: str):
     if m:
         return _map_unet_layer(m.group(3), (f"out_{m.group(1)}_{m.group(2)}",))
     return None
+
+
+# ---------------------------------------------------------------------------
+# VAE converters (sgm/modules/diffusionmodules/model.py + temporal_ae.py)
+# ---------------------------------------------------------------------------
+
+def _conv1x1_to_dense(t):
+    w = t2j(t)  # (O, I, 1, 1)
+    return w[:, :, 0, 0].T
+
+
+def _map_vae_resnet(rest: str, prefix: Tuple[str, ...], video: bool):
+    """ResnetBlock (model.py:144) fields; in VideoResBlockAE (temporal_ae.py)
+    the spatial fields live under our 'spatial' submodule and temporal ones
+    under 'time_stack'."""
+    if video:
+        if rest == "mix_factor":
+            return prefix + ("mix_factor",), t2j
+        if rest.startswith("time_stack."):
+            return _map_plain_resblock(rest[len("time_stack."):],
+                                       prefix + ("time_stack",), dims=3)
+        prefix = prefix + ("spatial",)
+    for norm in ("norm1", "norm2"):
+        m = re.match(norm + r"\.(weight|bias)$", rest)
+        if m:
+            return prefix + _norm_path(norm, "gn", m.group(1)), t2j
+    for conv in ("conv1", "conv2", "conv_shortcut"):
+        m = re.match(conv + r"\.(weight|bias)$", rest)
+        if m:
+            p, f = _map_conv(conv, m.group(1))
+            return prefix + p, f
+    m = re.match(r"nin_shortcut\.(weight|bias)$", rest)
+    if m:
+        p, f = _map_conv("nin_shortcut", m.group(1))
+        return prefix + p, f
+    return None
+
+
+def _map_vae_attn(rest: str, prefix: Tuple[str, ...]):
+    m = re.match(r"norm\.(weight|bias)$", rest)
+    if m:
+        return prefix + _norm_path("norm", "gn", m.group(1)), t2j
+    m = re.match(r"(q|k|v|proj_out)\.(weight|bias)$", rest)
+    if m:
+        name, param = m.group(1), m.group(2)
+        if param == "weight":
+            return prefix + (name, "kernel"), _conv1x1_to_dense
+        return prefix + (name, "bias"), t2j
+    return None
+
+
+def _convert_vae_key(key: str, video_decoder: bool):
+    m = re.match(r"conv_in\.(weight|bias)$", key)
+    if m:
+        return _map_conv("conv_in", m.group(1))
+    m = re.match(r"norm_out\.(weight|bias)$", key)
+    if m:
+        return _norm_path("norm_out", "gn", m.group(1)), t2j
+    m = re.match(r"conv_out\.(weight|bias)$", key)
+    if m:
+        p, f = _map_conv("conv", m.group(1))
+        return (("conv_out",) + p, f) if video_decoder else _map_conv("conv_out", m.group(1))
+    m = re.match(r"conv_out\.time_mix_conv\.(weight|bias)$", key)
+    if m:
+        p, f = _map_conv("time_mix_conv", m.group(1), dims=3)
+        return ("conv_out",) + p, f
+    m = re.match(r"(down|up)\.(\d+)\.block\.(\d+)\.(.*)$", key)
+    if m:
+        d, i, j, rest = m.groups()
+        return _map_vae_resnet(rest, (f"{d}_{i}_block_{j}",),
+                               video=video_decoder)
+    m = re.match(r"(down|up)\.(\d+)\.attn\.(\d+)\.(.*)$", key)
+    if m:
+        d, i, j, rest = m.groups()
+        return _map_vae_attn(rest, (f"{d}_{i}_attn_{j}",))
+    m = re.match(r"down\.(\d+)\.downsample\.conv\.(weight|bias)$", key)
+    if m:
+        p, f = _map_conv("conv", m.group(2))
+        return (f"down_{m.group(1)}_downsample",) + p, f
+    m = re.match(r"up\.(\d+)\.upsample\.conv\.(weight|bias)$", key)
+    if m:
+        p, f = _map_conv("conv", m.group(2))
+        return (f"up_{m.group(1)}_upsample",) + p, f
+    m = re.match(r"mid\.(block_1|block_2)\.(.*)$", key)
+    if m:
+        return _map_vae_resnet(m.group(2), (f"mid_{m.group(1)}",),
+                               video=video_decoder)
+    m = re.match(r"mid\.attn_1\.(.*)$", key)
+    if m:
+        return _map_vae_attn(m.group(1), ("mid_attn_1",))
+    return None
+
+
+def convert_vae(state_dict: Dict, video_decoder: bool = False) -> Dict:
+    """Torch Encoder/Decoder/VideoDecoder state_dict -> flax params for
+    models.vae.{Encoder,Decoder,VideoDecoder}."""
+    tree: Dict = {}
+    unknown = []
+    for key, val in state_dict.items():
+        out = _convert_vae_key(key, video_decoder)
+        if out is None:
+            unknown.append(key)
+            continue
+        path, fn = out
+        _set(tree, path, fn(val))
+    if unknown:
+        raise KeyError(f"unrecognized VAE keys: {unknown[:10]} "
+                       f"(+{max(0, len(unknown) - 10)} more)")
+    return tree
