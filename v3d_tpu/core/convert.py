@@ -345,3 +345,63 @@ def convert_vae(state_dict: Dict, video_decoder: bool = False) -> Dict:
         raise KeyError(f"unrecognized VAE keys: {unknown[:10]} "
                        f"(+{max(0, len(unknown) - 10)} more)")
     return tree
+
+
+# ---------------------------------------------------------------------------
+# CLIP visual tower converter (open_clip VisionTransformer state dict, keys
+# as they appear inside FrozenOpenCLIPImageEmbedder: "model.visual.*")
+# ---------------------------------------------------------------------------
+
+def convert_clip_visual(state_dict: Dict, prefix: str = "model.visual.") -> Dict:
+    """open_clip ViT visual weights -> flax params for models.clip_vit."""
+    tree: Dict = {}
+    unknown = []
+    for key, val in state_dict.items():
+        if not key.startswith(prefix):
+            continue
+        k = key[len(prefix):]
+        out = _convert_clip_key(k)
+        if out is None:
+            unknown.append(k)
+            continue
+        path, fn = out
+        _set(tree, path, fn(val))
+    if unknown:
+        raise KeyError(f"unrecognized CLIP keys: {unknown[:10]}")
+    return tree
+
+
+def _convert_clip_key(k: str):
+    if k == "conv1.weight":
+        return ("conv1", "kernel"), _conv2_w
+    if k == "class_embedding":
+        return ("class_embedding",), t2j
+    if k == "positional_embedding":
+        return ("positional_embedding",), t2j
+    if k == "proj":
+        return ("proj",), t2j  # stored as (width, out) already
+    for ln in ("ln_pre", "ln_post"):
+        m = re.match(ln + r"\.(weight|bias)$", k)
+        if m:
+            return _norm_path(ln, "ln", m.group(1)), t2j
+    m = re.match(r"transformer\.resblocks\.(\d+)\.(.*)$", k)
+    if m:
+        i, rest = m.groups()
+        prefix = (f"resblocks_{i}",)
+        for ln in ("ln_1", "ln_2"):
+            mm = re.match(ln + r"\.(weight|bias)$", rest)
+            if mm:
+                return prefix + _norm_path(ln, "ln", mm.group(1)), t2j
+        if rest == "attn.in_proj_weight":
+            return prefix + ("attn", "in_proj", "kernel"), _linear_w
+        if rest == "attn.in_proj_bias":
+            return prefix + ("attn", "in_proj", "bias"), t2j
+        mm = re.match(r"attn\.out_proj\.(weight|bias)$", rest)
+        if mm:
+            p, f = _map_linear("out_proj", mm.group(1))
+            return prefix + ("attn",) + p, f
+        mm = re.match(r"mlp\.(c_fc|c_proj)\.(weight|bias)$", rest)
+        if mm:
+            p, f = _map_linear(mm.group(1), mm.group(2))
+            return prefix + p, f
+    return None
