@@ -1,0 +1,178 @@
+"""Video diffusion engine — the V3D generation stack, TPU-native.
+
+Counterpart of sgm/models/video_diffusion.py DiffusionEngine plus the CLI
+wiring in scripts/pub/V3D_512.py:115-317.  Differences by design:
+
+- Pure-functional: params are explicit pytrees; the whole sample loop
+  (conditioning -> EDM scan -> temporal VAE decode) compiles to a handful of
+  XLA programs.  No Lightning, no implicit device state.
+- Sharding: callers wrap the jitted functions with a Mesh; the frame batch is
+  sharded on the "data" axis (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from v3d_tpu.diffusion.denoise import Denoiser
+from v3d_tpu.diffusion.loss import StandardDiffusionLoss
+from v3d_tpu.engines.wrappers import make_unet_network_fn
+from v3d_tpu.models.conditioner import (
+    ConcatTimestepEmbedderND,
+    EmbedderSpec,
+    GeneralConditioner,
+    IdentityEncoder,
+    repeat_cond_per_frame,
+)
+
+
+@dataclasses.dataclass
+class VideoDiffusionEngine:
+    """Bundles modules + static sampling config.  Params are passed per-call:
+    ``params = {"unet": ..., "encoder": ..., "decoder": ..., "clip": ...}``."""
+
+    unet: Any
+    denoiser: Denoiser
+    sampler: Any
+    vae_encoder: Any = None
+    vae_decoder_ctor: Optional[Callable] = None  # num_frames -> decoder module
+    clip: Any = None
+    scale_factor: float = 0.18215
+    num_frames: int = 18
+    latent_channels: int = 4
+    downscale: int = 8
+    loss_fn: Optional[StandardDiffusionLoss] = None
+
+    # -- conditioning ------------------------------------------------------
+    def conditioner(self) -> GeneralConditioner:
+        """V3D_512.yaml conditioner: identity CLIP/VAE cond + 3 scalar
+        sinusoidal embedders (fps, motion bucket, cond aug) -> 768-d vector."""
+        return GeneralConditioner(embedders=(
+            EmbedderSpec(IdentityEncoder(), "cond_frames_without_noise",
+                         ucg_rate=0.2),
+            EmbedderSpec(ConcatTimestepEmbedderND(256), "fps_id",
+                         is_trainable=True),
+            EmbedderSpec(ConcatTimestepEmbedderND(256), "motion_bucket_id",
+                         is_trainable=True),
+            EmbedderSpec(IdentityEncoder(), "cond_frames", ucg_rate=0.2),
+            EmbedderSpec(ConcatTimestepEmbedderND(256), "cond_aug",
+                         is_trainable=True),
+        ))
+
+    def encode_image(self, params: Dict, image: jnp.ndarray, rng: jax.Array,
+                     cond_aug: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """image (1, H, W, 3) in [-1,1] -> (clip_emb (1,1,1024), latent
+        moments-sampled cond frame + cond_aug noise) — V3D_512.py:234-243."""
+        from v3d_tpu.models.clip_vit import clip_preprocess
+        from v3d_tpu.models.vae import gaussian_sample
+
+        clip_emb = self.clip.apply(params["clip"], clip_preprocess(image))
+        if clip_emb.ndim == 2:
+            clip_emb = clip_emb[:, None, :]  # (b, 1, 1024) crossattn tokens
+        rng_enc, rng_aug = jax.random.split(rng)
+        moments = self.vae_encoder.apply(params["encoder"], image)
+        z = gaussian_sample(rng_enc, moments)
+        z = z + cond_aug * jax.random.normal(rng_aug, z.shape, z.dtype)
+        return clip_emb, z
+
+    def build_cond(self, clip_emb, cond_frames, fps_id, motion_bucket_id,
+                   cond_aug) -> Tuple[Dict, Dict]:
+        """get_batch + get_unconditional_conditioning + per-frame repeat
+        (V3D_512.py:31-69, 247-267).  Batch size 1 video."""
+        b = clip_emb.shape[0]
+        # scalar conds are built per-frame from the start: get_batch repeats
+        # them prod([b, T]) times (V3D_512.py:36-53)
+        ones = jnp.ones((b * self.num_frames,), jnp.float32)
+        batch = {
+            "cond_frames_without_noise": clip_emb,
+            "cond_frames": cond_frames,
+            "fps_id": ones * fps_id,
+            "motion_bucket_id": ones * motion_bucket_id,
+            "cond_aug": ones * cond_aug,
+        }
+        c, uc = self.conditioner().get_unconditional_conditioning(
+            batch,
+            force_uc_zero_embeddings=["cond_frames", "cond_frames_without_noise"],
+        )
+        c = repeat_cond_per_frame(c, self.num_frames)
+        uc = repeat_cond_per_frame(uc, self.num_frames)
+        return c, uc
+
+    # -- sampling ----------------------------------------------------------
+    def latent_shape(self, height: int, width: int) -> Tuple[int, ...]:
+        return (self.num_frames, height // self.downscale,
+                width // self.downscale, self.latent_channels)
+
+    def sample_latents(self, params: Dict, rng: jax.Array, c: Dict, uc: Dict,
+                       height: int = 512, width: int = 512,
+                       noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """EDM sampling of the video UNet (the hot loop)."""
+        t = self.num_frames
+        rng_noise, rng_samp = jax.random.split(rng)
+        if noise is None:
+            noise = jax.random.normal(rng_noise, self.latent_shape(height, width))
+        # CFG doubles the video batch -> indicator (2, t) (V3D_512.py:273-275)
+        indicator = jnp.zeros((2, t), jnp.float32)
+        network = make_unet_network_fn(self.unet.apply, params["unet"], t)
+
+        def denoiser_fn(x, sigma, cond):
+            return self.denoiser(network, x, sigma, cond,
+                                 image_only_indicator=indicator)
+
+        return self.sampler(denoiser_fn, noise, c, uc, rng=rng_samp)
+
+    def decode_latents(self, params: Dict, z: jnp.ndarray,
+                       decoding_t: Optional[int] = None) -> jnp.ndarray:
+        """Chunked temporal VAE decode (video_diffusion.py:183-211);
+        returns frames in [0, 1], shape (t, H, W, 3)."""
+        t = z.shape[0]
+        decoding_t = min(decoding_t or t, t)
+        n_chunks = -(-t // decoding_t)
+        outs = []
+        for i in range(n_chunks):
+            chunk = z[i * decoding_t:(i + 1) * decoding_t]
+            decoder = self.vae_decoder_ctor(chunk.shape[0])
+            x = decoder.apply(params["decoder"], chunk / self.scale_factor)
+            outs.append(x)
+        x = jnp.concatenate(outs, axis=0)
+        return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+    def encode_first_stage(self, params: Dict, frames: jnp.ndarray,
+                           rng: jax.Array) -> jnp.ndarray:
+        """frames (n, H, W, 3) in [-1,1] -> scaled latents (n, h, w, 4)."""
+        from v3d_tpu.models.vae import gaussian_sample
+
+        moments = self.vae_encoder.apply(params["encoder"], frames)
+        return self.scale_factor * gaussian_sample(rng, moments)
+
+    # -- training ----------------------------------------------------------
+    def training_loss(self, unet_params, rng: jax.Array, latents: jnp.ndarray,
+                      cond: Dict, num_frames: Optional[int] = None,
+                      sigma_per_video: bool = False) -> jnp.ndarray:
+        """EDM loss on pre-encoded latents (input_key='latents' in
+        V3D_512.yaml; loss.py:49-117).  ``latents``: ((b t), h, w, 4) already
+        scaled; cond entries already frame-flattened.
+
+        The reference samples an independent sigma per flattened element
+        (loss.py:81 with the (b t)-collated batch); ``sigma_per_video`` shares
+        one sigma across each video's frames instead.
+        """
+        t = num_frames or self.num_frames
+        b = latents.shape[0] // t
+        network = make_unet_network_fn(self.unet.apply, unet_params, t)
+        indicator = jnp.zeros((b, t), jnp.float32)
+        loss_fn = self.loss_fn
+        rng_loss = rng
+        if sigma_per_video:
+            rng_sig, rng_loss = jax.random.split(rng)
+            sigmas = jnp.repeat(loss_fn.sigma_sampler(rng_sig, b), t)
+            loss_fn = dataclasses.replace(
+                loss_fn, sigma_sampler=lambda r, n: sigmas)
+        per_sample = loss_fn(
+            network, self.denoiser, cond, latents, rng_loss,
+            extra_model_inputs={"image_only_indicator": indicator})
+        return jnp.mean(per_sample)
