@@ -1,0 +1,92 @@
+"""Benchmark: V3D-512 generation on TPU.
+
+Times the full flagship workload on the attached TPU chip: 18-view 512x512
+generation = 25 EDM steps of the CFG-doubled (batch 36) VideoUNet in bf16,
+plus the chunked temporal VAE decode.  Prints ONE JSON line.
+
+Baseline: the reference repo records no wall-clock numbers (BASELINE.md);
+the V3D paper claims ~3 min (180 s) per asset on one CUDA GPU for
+generation+reconstruction, of which generation is the dominant diffusion
+part.  vs_baseline = 180 / ours (higher is better).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SECONDS = 180.0
+
+
+def main():
+    from v3d_tpu.engines.builder import build_v3d_engine
+    from v3d_tpu.engines.wrappers import make_unet_network_fn
+
+    t = 18
+    steps = 25
+    engine = build_v3d_engine(num_frames=t, num_steps=steps, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    unet_params = engine.unet.init(
+        rng, jnp.zeros((2 * t, 64, 64, 8)), jnp.zeros((2 * t,)),
+        jnp.zeros((2 * t, 1, 1024)), jnp.zeros((2 * t, 768)),
+        num_video_frames=t, image_only_indicator=jnp.zeros((2, t)))
+    params = {"unet": unet_params}
+
+    c = {
+        "crossattn": jnp.ones((t, 1, 1024), jnp.float32),
+        "concat": jnp.ones((t, 64, 64, 4), jnp.float32) * 0.1,
+        "vector": jnp.ones((t, 768), jnp.float32),
+    }
+    uc = {
+        "crossattn": jnp.zeros((t, 1, 1024), jnp.float32),
+        "concat": jnp.zeros((t, 64, 64, 4), jnp.float32),
+        "vector": jnp.ones((t, 768), jnp.float32),
+    }
+
+    @jax.jit
+    def generate(params, rng, c, uc, noise):
+        return engine.sample_latents(params, rng, c, uc, 512, 512, noise=noise)
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), (t, 64, 64, 4))
+    z = generate(params, rng, c, uc, noise)
+    z.block_until_ready()  # compile + warm
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        z = generate(params, rng, c, uc, noise)
+        z.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    gen_s = min(times)
+
+    # temporal VAE decode, chunks of 6 frames
+    dec = engine.vae_decoder_ctor(6)
+    dec_params = dec.init(jax.random.PRNGKey(2), jnp.zeros((6, 64, 64, 4)))
+
+    @jax.jit
+    def decode(dp, zc):
+        return dec.apply(dp, zc / engine.scale_factor)
+
+    zc = z[:6]
+    decode(dec_params, zc).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(3):
+        decode(dec_params, z[i * 6:(i + 1) * 6]).block_until_ready()
+    dec_s = time.perf_counter() - t0
+
+    total = gen_s + dec_s
+    print(json.dumps({
+        "metric": "sec_per_generation_512_18f_25steps_1chip",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / total, 2),
+        "detail": {"unet_25step_s": round(gen_s, 3),
+                   "vae_decode_s": round(dec_s, 3),
+                   "denoise_steps_per_s": round(steps / gen_s, 3)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
