@@ -1,0 +1,241 @@
+"""Differentiable 3D Gaussian Splatting renderer, TPU-native.
+
+Replaces the CUDA ``diff-gaussian-rasterization`` submodule
+(recon/gaussian_renderer/__init__.py:22-134).  Design for TPU/XLA:
+
+- EWA projection (means -> screen, 3D cov -> 2D conic) is dense vectorized
+  math over all N gaussians.
+- Rasterization is tile-based like the CUDA kernel (16x16 tiles), but
+  instead of a dynamic per-tile list, each tile gathers its K nearest
+  (depth-sorted via masked top_k) overlapping gaussians into a FIXED-size
+  slab and alpha-composites front-to-back with an exclusive cumprod —
+  all static shapes, fully differentiable by JAX autodiff (the CUDA
+  backward kernel comes for free).
+- Tiles are processed in chunks under ``lax.map`` with rematerialization to
+  bound working memory.
+
+Matches the CUDA semantics: 0.3 px low-pass on the 2D cov, 1/255 alpha
+cutoff, 0.99 alpha clamp, T < 1e-4 termination, SH color ``max(sh+0.5, 0)``,
+near-plane z > 0.2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v3d_tpu.gs.gaussians import (
+    GaussianParams,
+    build_covariance3d,
+    get_features,
+    get_opacity,
+)
+from v3d_tpu.gs.sh import eval_sh
+
+TILE = 16
+
+
+class ProjectedGaussians(NamedTuple):
+    means2d: jnp.ndarray   # (N, 2) pixel coords
+    conic: jnp.ndarray     # (N, 3) upper-triangular inverse 2D cov (a, b, c)
+    depth: jnp.ndarray     # (N,) view-space z
+    radius: jnp.ndarray    # (N,) screen-space 3-sigma radius (pixels)
+    color: jnp.ndarray     # (N, 3)
+    opacity: jnp.ndarray   # (N,)
+    valid: jnp.ndarray     # (N,) bool
+
+
+def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
+                      scaling_modifier: float = 1.0) -> ProjectedGaussians:
+    """EWA splatting projection (CUDA preprocess step)."""
+    W = cam.width
+    H = cam.height
+    tan_fovx = float(np.tan(cam.fovx * 0.5))
+    tan_fovy = float(np.tan(cam.fovy * 0.5))
+    fx = W / (2.0 * tan_fovx)
+    fy = H / (2.0 * tan_fovy)
+
+    wvt = jnp.asarray(cam.world_view_transform)   # (4,4), row-vector layout
+    fpt = jnp.asarray(cam.full_proj_transform)
+    campos = jnp.asarray(cam.camera_center)
+
+    xyz = g.xyz
+    ones = jnp.ones_like(xyz[:, :1])
+    p_hom = jnp.concatenate([xyz, ones], axis=-1)
+    p_view = p_hom @ wvt                      # (N, 4)
+    p_clip = p_hom @ fpt
+    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
+    ndc = p_clip[:, :3] * p_w[:, None]
+    means2d = jnp.stack([
+        ((ndc[:, 0] + 1.0) * W - 1.0) * 0.5,
+        ((ndc[:, 1] + 1.0) * H - 1.0) * 0.5,
+    ], axis=-1)
+
+    tz = p_view[:, 2]
+    in_front = tz > 0.2
+
+    # EWA: cov2D = J R Sigma R^T J^T + 0.3 I
+    safe_tz = jnp.where(in_front, tz, 1.0)
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txtz = jnp.clip(p_view[:, 0] / safe_tz, -limx, limx)
+    tytz = jnp.clip(p_view[:, 1] / safe_tz, -limy, limy)
+    tx = txtz * safe_tz
+    ty = tytz * safe_tz
+
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([fx / safe_tz, zeros, -fx * tx / safe_tz**2], axis=-1),
+        jnp.stack([zeros, fy / safe_tz, -fy * ty / safe_tz**2], axis=-1),
+    ], axis=-2)                                # (N, 2, 3)
+    R_w2c = wvt[:3, :3].T                      # (3,3)
+    Sigma = build_covariance3d(g, scaling_modifier)   # (N, 3, 3)
+    M = J @ R_w2c                              # (N, 2, 3)
+    cov2d = M @ Sigma @ M.transpose(0, 2, 1)   # (N, 2, 2)
+    c00 = cov2d[:, 0, 0] + 0.3
+    c01 = cov2d[:, 0, 1]
+    c11 = cov2d[:, 1, 1] + 0.3
+
+    det = c00 * c11 - c01 * c01
+    det_ok = det > 0
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
+
+    mid = 0.5 * (c00 + c11)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    # SH -> RGB with view direction from camera to point (CUDA adds 0.5 and
+    # clamps negatives)
+    dirs = xyz - campos[None]
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    color = eval_sh(active_sh_degree, get_features(g), dirs)
+    color = jnp.maximum(color + 0.5, 0.0)
+
+    opacity = get_opacity(g)[:, 0]
+    valid = in_front & det_ok & g.alive & (radius > 0)
+    return ProjectedGaussians(means2d, conic, tz, radius, color, opacity, valid)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    max_per_tile: int = 512       # K: gaussians composited per tile
+    tile_chunk: int = 32          # tiles processed per lax.map step
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray   # (H, W, 3)
+    alpha: jnp.ndarray   # (H, W)
+    depth: jnp.ndarray   # (H, W)
+    radii: jnp.ndarray   # (N,)
+
+
+def rasterize(proj: ProjectedGaussians, height: int, width: int,
+              background: jnp.ndarray,
+              config: RasterizeConfig = RasterizeConfig(),
+              screen_offset: Optional[jnp.ndarray] = None) -> RenderOutput:
+    """Tile-based alpha compositing.  ``screen_offset`` is the reference's
+    screenspace-points trick (gaussian_renderer/__init__.py:37-46): a zeros
+    (N, 2) array added to means2d whose gradient gives the densification
+    statistic."""
+    means2d = proj.means2d
+    if screen_offset is not None:
+        means2d = means2d + screen_offset
+
+    K = min(config.max_per_tile, means2d.shape[0])
+    n_tx = -(-width // TILE)
+    n_ty = -(-height // TILE)
+    n_tiles = n_tx * n_ty
+
+    tile_ids = jnp.arange(n_tiles)
+    depth_masked = jnp.where(proj.valid, proj.depth, jnp.inf)
+
+    # pixel coordinates within a tile (TILE*TILE, 2) as (x, y)
+    py, px = jnp.mgrid[0:TILE, 0:TILE]
+    tile_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1).astype(jnp.float32)
+
+    def render_tiles(ids):
+        # ids: (C,) tile indices
+        tx = (ids % n_tx).astype(jnp.float32)
+        ty = (ids // n_tx).astype(jnp.float32)
+        x0 = tx * TILE
+        y0 = ty * TILE
+        # overlap test: gaussian bbox (3-sigma) vs tile rect
+        gx = means2d[None, :, 0]
+        gy = means2d[None, :, 1]
+        r = proj.radius[None, :]
+        overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
+                   (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
+        score = jnp.where(overlap, depth_masked[None, :], jnp.inf)
+        neg_depth, idx = jax.lax.top_k(-score, K)          # (C, K) sorted near->far
+        sel_ok = jnp.isfinite(neg_depth)
+
+        m2 = means2d[idx]          # (C, K, 2)
+        con = proj.conic[idx]      # (C, K, 3)
+        col = proj.color[idx]      # (C, K, 3)
+        op = jnp.where(sel_ok, proj.opacity[idx], 0.0)
+        dpt = proj.depth[idx]
+
+        # pixel centers of this tile chunk: (C, P, 2)
+        pix = (tile_pix[None] + jnp.stack([x0, y0], axis=-1)[:, None, :])
+        d = pix[:, :, None, :] - m2[:, None, :, :]          # (C, P, K, 2)
+        dx, dy = d[..., 0], d[..., 1]
+        power = (-0.5 * (con[:, None, :, 0] * dx * dx
+                         + con[:, None, :, 2] * dy * dy)
+                 - con[:, None, :, 1] * dx * dy)            # (C, P, K)
+        alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(power))
+        alpha = jnp.where((power <= 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        T_incl = jnp.cumprod(one_minus, axis=-1)
+        T_excl = jnp.concatenate(
+            [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1)
+        live = T_excl >= 1e-4                               # CUDA stop criterion
+        w = alpha * T_excl * live                           # (C, P, K)
+
+        rgb = jnp.einsum("cpk,ckj->cpj", w, col)
+        acc = jnp.sum(w, axis=-1)
+        dep = jnp.einsum("cpk,ck->cp", w, dpt)
+        # telescoping: sum_i alpha_i T_i + T_final == 1 (also under the stop
+        # mask), so the background weight is exactly 1 - acc
+        rgb = rgb + (1.0 - acc)[..., None] * background[None, None, :]
+        return rgb, acc, dep
+
+    render_tiles = jax.checkpoint(render_tiles)
+
+    C = config.tile_chunk
+    pad = (-n_tiles) % C
+    ids = jnp.concatenate([tile_ids, jnp.zeros((pad,), tile_ids.dtype)])
+    ids = ids.reshape(-1, C)
+    rgb, acc, dep = jax.lax.map(render_tiles, ids)
+    # (n_chunks, C, P, ...) -> (n_tiles, P, ...)
+    rgb = rgb.reshape(-1, TILE * TILE, 3)[:n_tiles]
+    acc = acc.reshape(-1, TILE * TILE)[:n_tiles]
+    dep = dep.reshape(-1, TILE * TILE)[:n_tiles]
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(n_ty, n_tx, TILE, TILE, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * TILE, n_tx * TILE, c)
+        return x[:height, :width]
+
+    image = untile(rgb)
+    alpha = untile(acc)[..., 0]
+    depth = untile(dep)[..., 0]
+    radii = jnp.where(proj.valid, proj.radius, 0.0)
+    return RenderOutput(image, alpha, depth, radii)
+
+
+def render(g: GaussianParams, cam, background: jnp.ndarray,
+           active_sh_degree: int = 0, scaling_modifier: float = 1.0,
+           config: RasterizeConfig = RasterizeConfig(),
+           screen_offset: Optional[jnp.ndarray] = None) -> RenderOutput:
+    """Full render (counterpart of recon/gaussian_renderer/__init__.py:22)."""
+    proj = project_gaussians(g, cam, active_sh_degree, scaling_modifier)
+    return rasterize(proj, cam.height, cam.width, background, config,
+                     screen_offset=screen_offset)
