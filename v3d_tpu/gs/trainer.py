@@ -1,0 +1,247 @@
+"""3DGS fitting loop (counterpart of recon/train_from_vid.py:38-208).
+
+Jitted render+loss+Adam step over fixed-capacity gaussian arrays; host-side
+densify/prune every ``densification_interval`` iters with optimizer-moment
+surgery (reference's _prune_optimizer / cat_tensors_to_optimizer,
+gaussian_model.py:375-445, becomes masked moment zeroing on changed slots).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from v3d_tpu.gs.densify import DensifyState, densify_and_prune, reset_opacity
+from v3d_tpu.gs.gaussians import GaussianParams, from_pcd, random_init_pcd
+from v3d_tpu.gs.losses import l1_loss, ssim
+from v3d_tpu.gs.render import RasterizeConfig, project_gaussians, rasterize
+
+FLOAT_FIELDS = ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity")
+
+
+@dataclasses.dataclass
+class GSTrainConfig:
+    """OptimizationParams (recon/arguments/__init__.py:88-108) +
+    train_from_vid defaults; V3D runs 4000 iters, lambda_dssim=1.0,
+    lambda_lpips=2.0 (readme step 4)."""
+
+    iterations: int = 4000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    lambda_dssim: float = 0.2
+    lambda_lpips: float = 0.0
+    lambda_opacity: float = 0.1
+    percent_dense: float = 0.01
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    min_opacity: float = 0.005
+    white_background: bool = True
+    max_per_tile: int = 512
+    tile_chunk: int = 32
+    random_background: bool = False
+
+
+def expon_lr(step, lr_init, lr_final, lr_delay_mult=1.0, lr_delay_steps=0,
+             max_steps=1_000_000):
+    """recon/utils/general_utils.py get_expon_lr_func."""
+    t = jnp.clip(step / max_steps, 0, 1)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    if lr_delay_steps > 0:
+        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1))
+    else:
+        delay = 1.0
+    return delay * log_lerp
+
+
+def camera_extent(cameras: List) -> float:
+    """getNerfppNorm (recon/scene/dataset_readers.py): 1.1 * max distance of
+    camera centers from their mean."""
+    centers = np.stack([c.camera_center for c in cameras])
+    center = centers.mean(0)
+    return float(1.1 * np.linalg.norm(centers - center, axis=1).max())
+
+
+class GSTrainer:
+    """Fits gaussians to a set of posed images (the VideoNVS scene)."""
+
+    def __init__(self, cameras: List, config: GSTrainConfig = GSTrainConfig(),
+                 num_pts: int = 100_000, capacity: Optional[int] = None,
+                 seed: int = 0, sh_degree: int = 0, radius: float = 2.0,
+                 lpips_fn=None):
+        self.cams = cameras
+        self.cfg = config
+        self.rng = np.random.RandomState(seed)
+        self.extent = camera_extent(cameras)
+        self.lpips_fn = lpips_fn
+        xyz, colors = random_init_pcd(self.rng, num_pts, radius=radius)
+        g = from_pcd(xyz, colors, sh_degree=sh_degree,
+                     capacity=capacity or int(num_pts * 2))
+        self.alive = np.array(g.alive)
+        self.params = {k: np.array(getattr(g, k)) for k in FLOAT_FIELDS}
+        self.densify_state = DensifyState.zeros(g.capacity)
+        self.images = jnp.asarray(
+            np.stack([c.image for c in cameras]).astype(np.float32))
+        self.cam_wvt = jnp.asarray(np.stack([c.world_view_transform for c in cameras]))
+        self.cam_fpt = jnp.asarray(np.stack([c.full_proj_transform for c in cameras]))
+        self.cam_center = jnp.asarray(np.stack([c.camera_center for c in cameras]))
+        self.template_cam = cameras[0]
+        self.step_count = 0
+
+        lr_scale = self.extent
+        self.opt = optax.multi_transform(
+            {
+                "xyz": optax.adam(lambda s: expon_lr(
+                    s, config.position_lr_init * lr_scale,
+                    config.position_lr_final * lr_scale,
+                    config.position_lr_delay_mult,
+                    max_steps=config.position_lr_max_steps), eps=1e-15),
+                "f_dc": optax.adam(config.feature_lr, eps=1e-15),
+                "f_rest": optax.adam(config.feature_lr / 20.0, eps=1e-15),
+                "opacity": optax.adam(config.opacity_lr, eps=1e-15),
+                "scaling": optax.adam(config.scaling_lr, eps=1e-15),
+                "rotation": optax.adam(config.rotation_lr, eps=1e-15),
+            },
+            {k: k for k in FLOAT_FIELDS},
+        )
+        self.opt_state = self.opt.init(
+            {k: jnp.asarray(v) for k, v in self.params.items()})
+        self._step_jit = jax.jit(self._train_step)
+
+    # ------------------------------------------------------------------
+    def _make_cam(self, wvt, fpt, center):
+        return dataclasses.replace(
+            self.template_cam, world_view_transform=wvt,
+            full_proj_transform=fpt, camera_center=center, image=None)
+
+    def _render(self, fp: Dict, alive, wvt, fpt, center, screen_offset, bg):
+        g = GaussianParams(alive=alive, **{k: fp[k] for k in FLOAT_FIELDS})
+        cam = self._make_cam(wvt, fpt, center)
+        proj = project_gaussians(g, cam)
+        out = rasterize(
+            proj, cam.height, cam.width, bg,
+            RasterizeConfig(self.cfg.max_per_tile, self.cfg.tile_chunk),
+            screen_offset=screen_offset)
+        return out
+
+    def _train_step(self, fp, opt_state, alive, wvt, fpt, center, target, bg):
+        cfg = self.cfg
+        capacity = alive.shape[0]
+
+        def loss_fn(fp, screen_offset):
+            out = self._render(fp, alive, wvt, fpt, center, screen_offset, bg)
+            ll1 = l1_loss(out.image, target)
+            loss = (1.0 - cfg.lambda_dssim) * ll1
+            if cfg.lambda_dssim > 0:
+                loss = loss + cfg.lambda_dssim * (1.0 - ssim(out.image, target))
+            if cfg.lambda_lpips > 0 and self.lpips_fn is not None:
+                loss = loss + cfg.lambda_lpips * self.lpips_fn(
+                    out.image[None], target[None])
+            op = jax.nn.sigmoid(fp["opacity"][:, 0]) * alive
+            loss = loss + cfg.lambda_opacity * jnp.sum(op) / jnp.maximum(
+                jnp.sum(alive), 1)
+            return loss, out
+
+        screen_offset = jnp.zeros((capacity, 2))
+        (loss, out), (grads, screen_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(fp, screen_offset)
+        updates, opt_state = self.opt.update(grads, opt_state, fp)
+        fp = optax.apply_updates(fp, updates)
+        visible = out.radii > 0
+        return fp, opt_state, loss, screen_grads, out.radii, visible
+
+    # ------------------------------------------------------------------
+    def train_iter(self, cam_idx: Optional[int] = None) -> Dict:
+        cfg = self.cfg
+        self.step_count += 1
+        it = self.step_count
+        if cam_idx is None:
+            cam_idx = int(self.rng.randint(len(self.cams)))
+        bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
+        if cfg.random_background:
+            bg = jnp.asarray(self.rng.rand(3).astype(np.float32))
+
+        fp = {k: jnp.asarray(v) for k, v in self.params.items()}
+        alive = jnp.asarray(self.alive)
+        fp, self.opt_state, loss, screen_grads, radii, visible = self._step_jit(
+            fp, self.opt_state, alive,
+            self.cam_wvt[cam_idx], self.cam_fpt[cam_idx],
+            self.cam_center[cam_idx], self.images[cam_idx], bg)
+        self.params = {k: np.array(v) for k, v in fp.items()}
+
+        stats = {"loss": float(loss), "iter": it,
+                 "num_alive": int(self.alive.sum())}
+
+        if it < cfg.densify_until_iter:
+            self.densify_state.add_stats(
+                np.asarray(screen_grads), np.asarray(radii), np.asarray(visible))
+            if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
+                size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+                g_np = dict(self.params, alive=self.alive)
+                g_np, self.densify_state, dstats = densify_and_prune(
+                    g_np, self.densify_state, self.rng,
+                    max_grad=cfg.densify_grad_threshold,
+                    min_opacity=cfg.min_opacity, extent=self.extent,
+                    max_screen_size=size_thresh,
+                    percent_dense=cfg.percent_dense)
+                changed = g_np["alive"] != self.alive
+                self.alive = g_np["alive"]
+                self.params = {k: g_np[k] for k in FLOAT_FIELDS}
+                self._surgery(changed)
+                stats.update(dstats)
+            if it % cfg.opacity_reset_interval == 0 or (
+                    cfg.white_background and it == cfg.densify_from_iter):
+                self.params = {
+                    **self.params,
+                    "opacity": reset_opacity(dict(self.params))["opacity"]}
+                self._surgery(np.ones_like(self.alive), fields=("opacity",))
+        return stats
+
+    def _surgery(self, changed: np.ndarray, fields=FLOAT_FIELDS) -> None:
+        """Zero Adam moments on changed slots (reference optimizer-state
+        surgery, gaussian_model.py:375-445)."""
+        state = jax.tree_util.tree_map(lambda x: x, self.opt_state)  # copy refs
+        flat, treedef = jax.tree_util.tree_flatten(
+            state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+
+        def fix(leaf):
+            if isinstance(leaf, optax.ScaleByAdamState):
+                mu = dict(leaf.mu)
+                nu = dict(leaf.nu)
+                for k in fields:
+                    if k in mu and hasattr(mu[k], "shape"):
+                        mask = jnp.asarray(changed).reshape(
+                            (-1,) + (1,) * (mu[k].ndim - 1))
+                        mu[k] = jnp.where(mask, 0.0, mu[k])
+                        nu[k] = jnp.where(mask, 0.0, nu[k])
+                return leaf._replace(mu=mu, nu=nu)
+            return leaf
+
+        flat = [fix(leaf) for leaf in flat]
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, flat)
+
+    # ------------------------------------------------------------------
+    def render_view(self, cam_idx: int, bg: Optional[jnp.ndarray] = None):
+        bg = bg if bg is not None else (
+            jnp.ones(3) if self.cfg.white_background else jnp.zeros(3))
+        fp = {k: jnp.asarray(v) for k, v in self.params.items()}
+        return self._render(fp, jnp.asarray(self.alive),
+                            self.cam_wvt[cam_idx], self.cam_fpt[cam_idx],
+                            self.cam_center[cam_idx], None, bg)
+
+    def gaussians_np(self) -> Dict[str, np.ndarray]:
+        return dict(self.params, alive=self.alive)
