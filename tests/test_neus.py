@@ -1,0 +1,172 @@
+"""NeuS stack tests: hash encoding, sphere-init SDF, analytic-SDF renderer
+checks, occupancy grid, and a short mask-supervised training run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from v3d_tpu.data.cameras import get_ray_directions, get_uniform_poses
+from v3d_tpu.nerf.encoding import (
+    HashGrid,
+    progressive_fd_eps,
+    progressive_level_mask,
+    spherical_harmonics_basis,
+)
+from v3d_tpu.nerf.fields import VanillaMLP, VarianceNetwork, VolumeSDF
+from v3d_tpu.nerf.occupancy import OccupancyGrid, grid_lookup
+from v3d_tpu.nerf.renderer import NeusRenderer, neus_alpha, ray_aabb_intersect
+from v3d_tpu.nerf.system import NeusConfig, NeusTrainer, distortion_loss, ranking_loss
+
+
+def test_hashgrid_shapes_and_interp():
+    hg = HashGrid(n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+                  base_resolution=4, per_level_scale=1.5)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (16, 3))
+    params = hg.init(jax.random.PRNGKey(1), x)
+    out = hg.apply(params, x)
+    assert out.shape == (16, 8)
+    # continuity: nearby points give nearby features
+    eps = 1e-4
+    o1 = hg.apply(params, x)
+    o2 = hg.apply(params, x + eps)
+    assert float(jnp.abs(o1 - o2).max()) < 0.1
+    # level mask zeroes features
+    mask = jnp.asarray([1, 1, 0, 0, 0, 0, 0, 0], jnp.float32)
+    o3 = hg.apply(params, x, mask)
+    assert float(jnp.abs(o3[:, 2:]).max()) == 0.0
+
+
+def test_progressive_schedules():
+    m0 = progressive_level_mask(0, 10, 2, 4, 0, 1000)
+    assert m0.sum() == 8
+    m1 = progressive_level_mask(2000, 10, 2, 4, 0, 1000)
+    assert m1.sum() == 12
+    e0 = progressive_fd_eps(0, 1.0, 32, 1.3195, 4, 0, 1000, 10)
+    e1 = progressive_fd_eps(2500, 1.0, 32, 1.3195, 4, 0, 1000, 10)
+    assert e1 < e0
+
+
+def test_sh_basis():
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    b = spherical_harmonics_basis(dirs, 4)
+    assert b.shape == (1, 16)
+    np.testing.assert_allclose(b[0, 0], 0.2820947917, rtol=1e-6)
+
+
+def test_sphere_init_sdf():
+    """Geometric init: raw SDF approximates |x| - 0.5."""
+    geo = VolumeSDF(radius=1.0)
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.0, 0.0], [0.0, 0.6, 0.0]])
+    params = geo.init(jax.random.PRNGKey(0), pts, eps=1e-3)
+    sdf, grad, feat = geo.apply(params, pts, eps=1e-3)
+    sdf = np.asarray(sdf)
+    assert sdf[0] < 0, "origin should be inside the init sphere"
+    assert sdf[1] > 0, "point at r=0.9 should be outside"
+    # eikonal-ish at init: grad norms O(1)
+    gn = np.linalg.norm(np.asarray(grad), axis=-1)
+    assert np.all(gn > 0.05) and np.all(gn < 20)
+
+
+def test_variance_network():
+    v = VarianceNetwork(init_val=0.3)
+    params = v.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(v.apply(params)), np.exp(3.0), rtol=1e-5)
+
+
+def test_ray_aabb():
+    o = jnp.asarray([[-2.0, 0, 0], [-2.0, 5.0, 0]])
+    d = jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]])
+    tn, tf = ray_aabb_intersect(o, d, 1.0)
+    np.testing.assert_allclose(tn[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(tf[0], 3.0, atol=1e-5)
+    assert tn[1] > tf[1]  # miss
+
+
+def test_renderer_analytic_sphere():
+    """Analytic unit-sphere SDF: rays toward origin must saturate opacity and
+    hit depth ~= distance - sphere radius."""
+    r_sphere = 0.5
+    renderer = NeusRenderer(radius=1.0, num_samples=128)
+
+    def sdf_grad_feat(pts):
+        norm = jnp.linalg.norm(pts, axis=-1)
+        sdf = norm - r_sphere
+        grad = pts / (norm[:, None] + 1e-9)
+        feat = jnp.zeros(pts.shape[:-1] + (13,))
+        return sdf, grad, feat
+
+    def rgb_fn(feat, nrm):
+        return jnp.ones(feat.shape[:-1] + (3,)) * 0.5
+
+    rays_o = jnp.asarray([[-2.0, 0, 0], [-2.0, 0.9, 0.0]])
+    rays_d = jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]])
+    out = renderer(rays_o, rays_d, sdf_grad_feat, rgb_fn,
+                   inv_s=jnp.asarray(200.0), cos_anneal_ratio=1.0)
+    op = np.asarray(out.opacity)
+    assert op[0] > 0.95, f"center ray should be opaque, got {op[0]}"
+    assert op[1] < 0.05, f"miss ray should be transparent, got {op[1]}"
+    depth = float(out.depth[0] / max(op[0], 1e-6))
+    assert abs(depth - 1.5) < 0.05
+    # comp normal points back toward the camera (-x)
+    n = np.asarray(out.comp_normal[0])
+    assert n[0] < -0.9
+
+
+def test_occupancy_grid_update_and_lookup():
+    occ = OccupancyGrid(radius=1.0, resolution=16, update_interval=1)
+
+    def occ_fn(pts):
+        return (jnp.linalg.norm(pts, axis=-1) < 0.5).astype(jnp.float32)
+
+    occ.update(0, occ_fn, jax.random.PRNGKey(0))
+    inside = grid_lookup(occ.binary, jnp.asarray([[0.0, 0, 0]]), 1.0)
+    outside = grid_lookup(occ.binary, jnp.asarray([[0.9, 0.9, 0.9]]), 1.0)
+    assert bool(inside[0]) and not bool(outside[0])
+
+
+def test_ranking_loss_trims():
+    err = jnp.asarray([1.0, 2.0, 3.0, 100.0])
+    full = ranking_loss(err, 1.0)
+    trimmed = ranking_loss(err, 0.75)
+    np.testing.assert_allclose(float(full), 26.5)
+    np.testing.assert_allclose(float(trimmed), 2.0)
+
+
+def test_distortion_loss_concentrated_vs_spread():
+    m = jnp.linspace(0, 1, 16)[None]
+    iv = jnp.full((1, 16), 1 / 16)
+    w_concentrated = jnp.zeros((1, 16)).at[0, 8].set(1.0)
+    w_spread = jnp.full((1, 16), 1 / 16)
+    assert float(distortion_loss(w_concentrated, m, iv)) < float(
+        distortion_loss(w_spread, m, iv))
+
+
+@pytest.mark.slow
+def test_neus_training_smoke():
+    """Short mask-supervised run on a synthetic silhouette scene: loss drops
+    and the carved opacity matches the mask."""
+    res = 24
+    n_views = 4
+    poses = get_uniform_poses(n_views, 2.0, 0.0, opengl=True)
+    focal = res / (2 * np.tan(np.deg2rad(30)))
+    dirs = get_ray_directions(res, res, focal)
+    # silhouette of a centered ball: white object on black bg
+    yy, xx = np.mgrid[0:res, 0:res]
+    mask = ((yy - res / 2) ** 2 + (xx - res / 2) ** 2 < (res / 5) ** 2)
+    images = np.repeat(mask[None, :, :, None], n_views, 0).astype(np.float32)
+    images = np.tile(images, (1, 1, 1, 3)) * 0.8
+    fg = np.repeat(mask[None], n_views, 0).astype(np.float32)
+
+    cfg = NeusConfig(num_samples_per_ray=64, train_num_rays=128,
+                     max_train_num_rays=128, dynamic_ray_sampling=False,
+                     lambda_normal=0.0, lambda_3d_normal_smooth=0.0,
+                     cos_anneal_end=100, max_steps=60)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg, seed=0)
+    losses = [trainer.train_iter()["loss"] for _ in range(60)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    # SDF grid has negative (inside) values around origin region
+    grid = trainer.sdf_grid(resolution=24)
+    assert grid.min() < 0 < grid.max()

@@ -1,0 +1,138 @@
+"""Input encodings for the SDF/radiance fields.
+
+TPU-native replacement for tinycudann (mesh_recon/models/network_utils.py):
+- ``HashGrid``: multiresolution hash encoding (Instant-NGP) as a flax module
+  — per-level trilinear gather from a learned table.  On TPU this is a
+  vectorized one-hot-free gather; XLA lowers it to efficient dynamic-slices.
+- ``ProgressiveBandHashGrid``: level-mask annealing
+  (network_utils.py:40-66) — the mask is passed in per call (computed from
+  the global step on host) so the jitted fn never retraces.
+- ``CompositeEncoding`` include_xyz (network_utils.py:68-80): prepend
+  x*2-1.
+- ``spherical_harmonics_basis``: tcnn SphericalHarmonics equivalent (degree
+  4 -> 16 components) for the radiance field's direction encoding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+# Instant-NGP hashing primes
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGrid(nn.Module):
+    """Multiresolution hash grid.  Input in [0, 1]^3; output (N, L*F)."""
+
+    n_levels: int = 10
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 32
+    per_level_scale: float = 1.3195079107728942
+
+    def resolutions(self):
+        return [
+            int(np.floor(self.base_resolution * self.per_level_scale**l))
+            for l in range(self.n_levels)
+        ]
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @nn.compact
+    def __call__(self, x, level_mask: Optional[jnp.ndarray] = None):
+        T = 1 << self.log2_hashmap_size
+        table = self.param(
+            "table", lambda k: jax.random.uniform(
+                k, (self.n_levels, T, self.n_features_per_level),
+                minval=-1e-4, maxval=1e-4))
+        feats = []
+        for l, res in enumerate(self.resolutions()):
+            xl = x * res
+            x0 = jnp.floor(xl).astype(jnp.int32)
+            w = xl - x0
+            level_feats = 0.0
+            for corner in range(8):
+                offs = jnp.asarray(
+                    [(corner >> 0) & 1, (corner >> 1) & 1, (corner >> 2) & 1],
+                    jnp.int32)
+                c = jnp.clip(x0 + offs, 0, res)
+                if (res + 1) ** 3 <= T:
+                    idx = (c[..., 0] + (res + 1) * (c[..., 1] + (res + 1) * c[..., 2]))
+                else:
+                    cu = c.astype(jnp.uint32)
+                    idx = ((cu[..., 0] * jnp.uint32(_PRIMES[0]))
+                           ^ (cu[..., 1] * jnp.uint32(_PRIMES[1]))
+                           ^ (cu[..., 2] * jnp.uint32(_PRIMES[2])))
+                    idx = (idx & jnp.uint32(T - 1)).astype(jnp.int32)
+                cw = jnp.prod(
+                    jnp.where(offs.astype(bool), w, 1.0 - w), axis=-1)
+                level_feats = level_feats + cw[..., None] * table[l, idx]
+            feats.append(level_feats)
+        out = jnp.concatenate(feats, axis=-1)
+        if level_mask is not None:
+            out = out * level_mask
+        return out
+
+
+def progressive_level_mask(global_step: int, n_levels: int,
+                           n_features_per_level: int, start_level: int,
+                           start_step: int, update_steps: int) -> np.ndarray:
+    """network_utils.py:58-66: unlock ``start_level`` levels at step 0, one
+    more every ``update_steps``."""
+    current = min(start_level + max(global_step - start_step, 0) // update_steps,
+                  n_levels)
+    mask = np.zeros(n_levels * n_features_per_level, np.float32)
+    mask[:current * n_features_per_level] = 1.0
+    return mask
+
+
+def progressive_fd_eps(global_step: int, radius: float, base_resolution: int,
+                       per_level_scale: float, start_level: int,
+                       start_step: int, update_steps: int, n_levels: int) -> float:
+    """geometry.py:219-237: finite-difference eps tied to the current finest
+    unlocked grid resolution."""
+    current = min(start_level + max(global_step - start_step, 0) // update_steps,
+                  n_levels)
+    grid_res = base_resolution * per_level_scale ** (current - 1)
+    return 2 * radius / grid_res
+
+
+def composite_with_xyz(x: jnp.ndarray, enc: jnp.ndarray) -> jnp.ndarray:
+    """CompositeEncoding include_xyz (xyz_scale=2, xyz_offset=-1)."""
+    return jnp.concatenate([x * 2.0 - 1.0, enc], axis=-1)
+
+
+def spherical_harmonics_basis(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Real SH basis values up to ``degree`` (tcnn SphericalHarmonics
+    equivalent).  ``dirs``: unit vectors (N, 3) -> (N, degree^2)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full_like(x, 0.28209479177387814)]
+    if degree > 1:
+        out += [-0.48860251190291987 * y,
+                0.48860251190291987 * z,
+                -0.48860251190291987 * x]
+    if degree > 2:
+        xy, yz, xz = x * y, y * z, x * z
+        xx, yy, zz = x * x, y * y, z * z
+        out += [1.0925484305920792 * xy,
+                -1.0925484305920792 * yz,
+                0.31539156525252005 * (2 * zz - xx - yy),
+                -1.0925484305920792 * xz,
+                0.5462742152960396 * (xx - yy)]
+    if degree > 3:
+        out += [-0.5900435899266435 * y * (3 * xx - yy),
+                2.890611442640554 * xy * z,
+                -0.4570457994644658 * y * (4 * zz - xx - yy),
+                0.3731763325901154 * z * (2 * zz - 3 * xx - 3 * yy),
+                -0.4570457994644658 * x * (4 * zz - xx - yy),
+                1.445305721320277 * z * (xx - yy),
+                -0.5900435899266435 * x * (xx - 3 * yy)]
+    return jnp.stack(out, axis=-1)

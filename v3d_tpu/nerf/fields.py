@@ -1,0 +1,180 @@
+"""SDF geometry / radiance fields for NeuS (TPU-native, flax).
+
+Counterparts of mesh_recon/models/geometry.py (VolumeSDF :144), texture.py
+(VolumeRadiance :11), network_utils.py (VanillaMLP :95-140) and
+models/neus.py (VarianceNetwork :24-46).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from v3d_tpu.nerf.encoding import HashGrid, composite_with_xyz
+
+
+class WNDense(nn.Module):
+    """Weight-normalized linear layer (torch nn.utils.weight_norm):
+    w = g * v / ||v||_row, params v (direction) and g (per-output scale)."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        v = self.param("v", self.kernel_init, (in_dim, self.features))
+        # torch initializes g = ||w_init|| (per output row)
+        g = self.param("g", lambda k: jnp.linalg.norm(
+            self.kernel_init(k, (in_dim, self.features)), axis=0))
+        b = self.param("bias", self.bias_init, (self.features,))
+        w = v * (g / (jnp.linalg.norm(v, axis=0) + 1e-12))[None, :]
+        return x @ w + b
+
+
+class VanillaMLP(nn.Module):
+    """network_utils.py:95-140.  With sphere_init: softplus(beta=100)
+    activations and the geometric initialization of Atzmon & Lipman so the
+    raw network approximates SDF of a sphere of ``sphere_init_radius``."""
+
+    dim_out: int
+    n_neurons: int = 64
+    n_hidden_layers: int = 1
+    sphere_init: bool = False
+    sphere_init_radius: float = 0.5
+    weight_norm: bool = False
+
+    def _layer(self, dim_out, kind, name):
+        if self.sphere_init:
+            if kind == "last":
+                kernel_init = lambda k, s: jax.random.normal(k, s) * 1e-4 + math.sqrt(
+                    math.pi) / math.sqrt(s[0])
+                bias_init = nn.initializers.constant(-self.sphere_init_radius)
+            elif kind == "first":
+                def kernel_init(k, s):
+                    w = jnp.zeros(s)
+                    w = w.at[:3, :].set(
+                        jax.random.normal(k, (3, s[1])) * math.sqrt(2) / math.sqrt(s[1]))
+                    return w
+                bias_init = nn.initializers.zeros
+            else:
+                kernel_init = lambda k, s: jax.random.normal(k, s) * math.sqrt(
+                    2) / math.sqrt(s[1])
+                bias_init = nn.initializers.zeros
+        else:
+            kernel_init = nn.initializers.kaiming_uniform()
+            bias_init = nn.initializers.zeros
+        cls = WNDense if self.weight_norm else nn.Dense
+        if cls is nn.Dense:
+            return nn.Dense(dim_out, kernel_init=kernel_init, bias_init=bias_init,
+                            name=name)
+        return WNDense(dim_out, kernel_init=kernel_init, bias_init=bias_init,
+                       name=name)
+
+    def _act(self, x):
+        if self.sphere_init:
+            return jax.nn.softplus(100.0 * x) / 100.0
+        return jax.nn.relu(x)
+
+    @nn.compact
+    def __call__(self, x):
+        h = self._act(self._layer(self.n_neurons, "first", "layers_0")(x))
+        for i in range(self.n_hidden_layers - 1):
+            h = self._act(self._layer(self.n_neurons, "mid", f"layers_{i+1}")(h))
+        return self._layer(self.dim_out, "last",
+                           f"layers_{self.n_hidden_layers}")(h)
+
+
+class VolumeSDF(nn.Module):
+    """geometry.py:144-237.  Points come in world scale [-radius, radius];
+    internally normalized to [0,1] for the hash encoding.  Gradients use
+    central finite differences with a (progressive) eps passed per call."""
+
+    radius: float = 1.0
+    feature_dim: int = 13
+    n_levels: int = 10
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 32
+    per_level_scale: float = 1.3195079107728942
+    n_neurons: int = 64
+    n_hidden_layers: int = 1
+    sphere_init_radius: float = 0.5
+
+    def setup(self):
+        self.encoding = HashGrid(self.n_levels, self.n_features_per_level,
+                                 self.log2_hashmap_size, self.base_resolution,
+                                 self.per_level_scale, name="encoding")
+        self.network = VanillaMLP(self.feature_dim, self.n_neurons,
+                                  self.n_hidden_layers, sphere_init=True,
+                                  sphere_init_radius=self.sphere_init_radius,
+                                  weight_norm=True, name="network")
+
+    def field(self, points_world, level_mask=None):
+        """Raw network output (..., feature_dim); [..., 0] is the SDF."""
+        x = (points_world + self.radius) / (2 * self.radius)  # -> [0, 1]
+        x = jnp.clip(x, 0.0, 1.0)
+        enc = self.encoding(x, level_mask)
+        inp = composite_with_xyz(x, enc)
+        return self.network(inp)
+
+    def sdf(self, points_world, level_mask=None):
+        return self.field(points_world, level_mask)[..., 0]
+
+    def __call__(self, points_world, eps: float = 1e-3, level_mask=None,
+                 with_grad: bool = True, with_laplace: bool = False):
+        out = self.field(points_world, level_mask)
+        sdf = out[..., 0]
+        feature = out
+        results = [sdf]
+        if with_grad:
+            offsets = jnp.asarray(
+                [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
+                 [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], points_world.dtype)
+            pd = jnp.clip(points_world[..., None, :] + offsets,
+                          -self.radius, self.radius)
+            sdf_d = self.field(
+                pd.reshape((-1, 3)), level_mask)[..., 0].reshape(
+                    points_world.shape[:-1] + (6,))
+            grad = 0.5 * (sdf_d[..., 0::2] - sdf_d[..., 1::2]) / eps
+            results.append(grad)
+            if with_laplace:
+                laplace = (sdf_d[..., 0::2] + sdf_d[..., 1::2]
+                           - 2 * sdf[..., None]).sum(-1) / (eps ** 2)
+        results.append(feature)
+        if with_laplace:
+            results.append(laplace)
+        return tuple(results)
+
+
+class VolumeRadiance(nn.Module):
+    """texture.py:11-54 (with_viewdir=False): [feature(13) ‖ normal(3)] ->
+    MLP(64x2) -> sigmoid RGB."""
+
+    n_neurons: int = 64
+    n_hidden_layers: int = 2
+
+    @nn.compact
+    def __call__(self, features, normals):
+        inp = jnp.concatenate([features, normals], axis=-1)
+        rgb = VanillaMLP(3, self.n_neurons, self.n_hidden_layers,
+                         sphere_init=False, weight_norm=False,
+                         name="network")(inp)
+        return jax.nn.sigmoid(rgb)
+
+
+class VarianceNetwork(nn.Module):
+    """neus.py:24-46: single learnable s with inv_s = exp(10 * s)."""
+
+    init_val: float = 0.3
+
+    @nn.compact
+    def __call__(self):
+        v = self.param("variance", lambda k: jnp.asarray(self.init_val))
+        return jnp.exp(10.0 * v)

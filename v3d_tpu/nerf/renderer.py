@@ -1,0 +1,144 @@
+"""NeuS volume renderer with fixed-budget ray marching.
+
+TPU-native replacement for the nerfacc pipeline in
+mesh_recon/models/neus.py:272-351: instead of compacted variable-length
+samples (ray_marching + ray_indices), every ray carries a static grid of
+``num_samples`` positions between its AABB entry/exit points, masked by the
+occupancy grid — static shapes, no scatter/gather compaction, ideal for XLA.
+
+The NeuS alpha (sigmoid CDF ratio with cos annealing, neus.py:166-192) and
+front-to-back compositing (render_weight_from_alpha + accumulate_along_rays)
+become a masked exclusive-cumprod along the sample axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from v3d_tpu.nerf.occupancy import grid_lookup
+
+
+def _safe_normalize(x, eps=1e-10):
+    """Normalize with a NaN-safe backward at ||x|| = 0."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
+    return x / norm
+
+
+def ray_aabb_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       radius: float) -> tuple:
+    """Slab test against the cube [-radius, radius]^3 -> (t_near, t_far);
+    rays that miss get t_near > t_far."""
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-10,
+                            jnp.where(rays_d >= 0, 1e-10, -1e-10), rays_d)
+    t0 = (-radius - rays_o) * inv_d
+    t1 = (radius - rays_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.maximum(t_near, 0.0), t_far
+
+
+def neus_alpha(sdf: jnp.ndarray, normal: jnp.ndarray, dirs: jnp.ndarray,
+               dists: jnp.ndarray, inv_s: jnp.ndarray,
+               cos_anneal_ratio: float) -> jnp.ndarray:
+    """neus.py:166-192 — alpha from the ratio of sigmoid CDFs at the
+    estimated section endpoints."""
+    true_cos = jnp.sum(dirs * normal, axis=-1)
+    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    p = prev_cdf - next_cdf
+    c = prev_cdf
+    return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
+
+
+class RenderResult(NamedTuple):
+    comp_rgb: jnp.ndarray      # (R, 3)
+    opacity: jnp.ndarray       # (R,)
+    depth: jnp.ndarray         # (R,)
+    comp_normal: jnp.ndarray   # (R, 3) normalized
+    weights: jnp.ndarray       # (R, S)
+    sdf: jnp.ndarray           # (R, S)
+    sdf_grad: jnp.ndarray      # (R, S, 3)
+    midpoints: jnp.ndarray     # (R, S)
+    intervals: jnp.ndarray     # (R, S)
+    sample_mask: jnp.ndarray   # (R, S) bool
+    rays_valid: jnp.ndarray    # (R,) bool — any live sample
+
+
+@dataclasses.dataclass(frozen=True)
+class NeusRenderer:
+    radius: float = 1.0
+    num_samples: int = 1024
+
+    @property
+    def step_size(self) -> float:
+        # neus.py:115-117
+        return 1.732 * 2 * self.radius / self.num_samples
+
+    def sample_points(self, rays_o, rays_d, rng: Optional[jax.Array] = None):
+        """Uniform steps of step_size from the AABB entry point; samples past
+        t_far are masked (nerfacc marching on a fixed stride)."""
+        R = rays_o.shape[0]
+        t_near, t_far = ray_aabb_intersect(rays_o, rays_d, self.radius)
+        s = jnp.arange(self.num_samples, dtype=jnp.float32)
+        if rng is not None:
+            jitter = jax.random.uniform(rng, (R, self.num_samples))
+        else:
+            jitter = 0.5
+        t_start = t_near[:, None] + (s[None, :] + 0.0) * self.step_size
+        t_mid = t_start + jitter * self.step_size
+        in_range = (t_mid < t_far[:, None]) & (t_far > t_near)[:, None]
+        positions = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        return positions, t_mid, in_range
+
+    def __call__(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                 sdf_grad_feature_fn: Callable, rgb_fn: Callable,
+                 inv_s: jnp.ndarray, cos_anneal_ratio: float = 1.0,
+                 occupancy_binary: Optional[jnp.ndarray] = None,
+                 background_color: Optional[jnp.ndarray] = None,
+                 rng: Optional[jax.Array] = None) -> RenderResult:
+        """sdf_grad_feature_fn(points (N,3)) -> (sdf (N,), grad (N,3),
+        feature (N,F)); rgb_fn(feature, normal) -> (N, 3)."""
+        R = rays_o.shape[0]
+        S = self.num_samples
+        positions, t_mid, mask = self.sample_points(rays_o, rays_d, rng)
+        if occupancy_binary is not None:
+            occ = grid_lookup(occupancy_binary, positions, self.radius)
+            mask = mask & occ
+
+        flat = positions.reshape(-1, 3)
+        sdf, grad, feature = sdf_grad_feature_fn(flat)
+        sdf = sdf.reshape(R, S)
+        grad = grad.reshape(R, S, 3)
+        normal = _safe_normalize(grad)
+
+        dists = jnp.full((R, S), self.step_size, jnp.float32)
+        alpha = neus_alpha(sdf, normal, rays_d[:, None, :], dists, inv_s,
+                           cos_anneal_ratio)
+        alpha = jnp.where(mask, alpha, 0.0)
+
+        t_excl = jnp.cumprod(
+            jnp.concatenate([jnp.ones((R, 1)), 1.0 - alpha[:, :-1]], axis=1),
+            axis=1)
+        weights = alpha * t_excl
+
+        rgb = rgb_fn(feature, normal.reshape(-1, 3)).reshape(R, S, 3)
+        comp_rgb = jnp.sum(weights[..., None] * rgb, axis=1)
+        opacity = jnp.sum(weights, axis=1)
+        depth = jnp.sum(weights * t_mid, axis=1)
+        comp_normal = jnp.sum(weights[..., None] * normal, axis=1)
+        comp_normal = _safe_normalize(comp_normal)
+
+        if background_color is not None:
+            comp_rgb = comp_rgb + (1.0 - opacity)[:, None] * background_color[None]
+
+        rays_valid = jnp.any(weights > 0, axis=1)
+        return RenderResult(comp_rgb, opacity, depth, comp_normal, weights,
+                            sdf, grad, t_mid, dists, mask, rays_valid)

@@ -1,0 +1,396 @@
+"""NeuS training system (counterpart of
+mesh_recon/systems/neus_videonvs.py:37-503 'videonvs-neus-system').
+
+Per step: sample random pixels across all frames -> rays -> fixed-budget
+NeuS render -> loss suite (rgb MSE, mask BCE, eikonal, DPT-normal cosine,
+sparsity, curvature, 3D normal smoothness, opaque, distortion) -> AdamW with
+per-group LRs and constant->exponential decay schedule.
+
+TPU adaptation of "dynamic ray sampling" (neus_videonvs.py:191-199): ray
+count still adapts to the live-sample budget but is rounded to a power of
+two so only a bounded set of jit specializations exist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from v3d_tpu.nerf.encoding import progressive_fd_eps, progressive_level_mask
+from v3d_tpu.nerf.fields import VarianceNetwork, VolumeRadiance, VolumeSDF
+from v3d_tpu.nerf.occupancy import OccupancyGrid
+from v3d_tpu.nerf.renderer import NeusRenderer
+
+
+@dataclasses.dataclass
+class NeusConfig:
+    """configs/videonvs.yaml model/system blocks."""
+
+    radius: float = 1.0
+    num_samples_per_ray: int = 1024
+    train_num_rays: int = 256
+    max_train_num_rays: int = 8192
+    dynamic_ray_sampling: bool = True
+    cos_anneal_end: int = 20000
+    background_color: str = "black"
+    grid_prune: bool = True
+    grid_prune_occ_thre: float = 0.001
+    variance_init: float = 0.3
+    # hashgrid / progressive schedule
+    n_levels: int = 10
+    start_level: int = 4
+    start_step: int = 0
+    update_steps: int = 1000
+    base_resolution: int = 32
+    per_level_scale: float = 1.3195079107728942
+    # losses (system.loss)
+    lambda_rgb_mse: float = 0.5
+    lambda_rgb_l1: float = 0.0
+    lambda_mask: float = 1.0
+    lambda_eikonal: float = 0.2
+    lambda_normal: float = 1.0
+    lambda_3d_normal_smooth: float = 1.0
+    lambda_curvature: float = 0.0
+    lambda_sparsity: float = 0.5
+    lambda_distortion: float = 0.0
+    lambda_opaque: float = 0.0
+    sparsity_scale: float = 100.0
+    normal_p_ratio: float = 0.8
+    # optimizer (system.optimizer / scheduler)
+    lr: float = 0.01
+    lr_geometry: float = 0.001
+    lr_variance: float = 0.001
+    constant_steps: int = 500
+    max_steps: int = 3000
+    lr_decay_target: float = 0.1
+
+
+def ranking_loss(error: jnp.ndarray, penalize_ratio: float = 0.7,
+                 mask: Optional[jnp.ndarray] = None,
+                 reduction: str = "mean") -> jnp.ndarray:
+    """systems/neus_ortho.py:18-29: keep only the smallest ``penalize_ratio``
+    fraction of per-element errors (robust trimming).  Static-shape variant:
+    invalid entries (mask=0) are pushed to +inf and excluded."""
+    n = error.shape[0]
+    if mask is not None:
+        error = jnp.where(mask, error, jnp.inf)
+        n_valid = jnp.sum(mask)
+    else:
+        n_valid = jnp.asarray(n)
+    k = jnp.minimum((penalize_ratio * n_valid).astype(jnp.int32),
+                    jnp.asarray(n, jnp.int32))
+    sorted_err = jnp.sort(error)
+    keep = jnp.arange(n) < k
+    vals = jnp.where(keep & jnp.isfinite(sorted_err), sorted_err, 0.0)
+    if reduction == "mean":
+        return jnp.sum(vals) / jnp.maximum(k, 1)
+    return jnp.sum(vals)
+
+
+def binary_cross_entropy(pred, target):
+    return -(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
+
+
+class NeusTrainer:
+    """Owns field params, occupancy grid, optimizer state, and the jitted
+    train step.  Dataset tensors (images/masks/normals/rays) live on device."""
+
+    def __init__(self, images: np.ndarray, fg_masks: np.ndarray,
+                 directions: np.ndarray, c2ws: np.ndarray,
+                 normals: Optional[np.ndarray] = None,
+                 config: NeusConfig = NeusConfig(), seed: int = 0):
+        """images (N, H, W, 3) in [0,1]; fg_masks (N, H, W); directions
+        (H, W, 3) camera-space (shared intrinsics); c2ws (N, 4, 4) OpenGL."""
+        self.cfg = config
+        cfg = config
+        self.geometry = VolumeSDF(
+            radius=cfg.radius, n_levels=cfg.n_levels,
+            base_resolution=cfg.base_resolution,
+            per_level_scale=cfg.per_level_scale)
+        self.texture = VolumeRadiance()
+        self.variance = VarianceNetwork(init_val=cfg.variance_init)
+        self.renderer = NeusRenderer(radius=cfg.radius,
+                                     num_samples=cfg.num_samples_per_ray)
+        self.occ = OccupancyGrid(radius=cfg.radius,
+                                 occ_threshold=cfg.grid_prune_occ_thre)
+
+        self.images = jnp.asarray(images, jnp.float32)
+        self.fg_masks = jnp.asarray(fg_masks, jnp.float32)
+        self.normals = None if normals is None else jnp.asarray(normals, jnp.float32)
+        self.directions = jnp.asarray(directions, jnp.float32)
+        self.c2ws = jnp.asarray(c2ws, jnp.float32)
+        self.n_images, self.h, self.w = images.shape[:3]
+
+        rng = jax.random.PRNGKey(seed)
+        r1, r2, r3, self.rng = jax.random.split(rng, 4)
+        pts = jnp.zeros((8, 3))
+        self.params = {
+            "geometry": self.geometry.init(r1, pts, eps=1e-3),
+            "texture": self.texture.init(r2, jnp.zeros((8, 13)), jnp.zeros((8, 3))),
+            "variance": self.variance.init(r3),
+        }
+
+        schedule = self._make_schedule()
+        self.opt = optax.multi_transform(
+            {
+                "geometry": optax.adamw(lambda s: cfg.lr_geometry * schedule(s),
+                                        b1=0.9, b2=0.99, eps=1e-15),
+                "texture": optax.adamw(lambda s: cfg.lr * schedule(s),
+                                       b1=0.9, b2=0.99, eps=1e-15),
+                "variance": optax.adamw(lambda s: cfg.lr_variance * schedule(s),
+                                        b1=0.9, b2=0.99, eps=1e-15),
+            },
+            {"geometry": "geometry", "texture": "texture", "variance": "variance"})
+        self.opt_state = self.opt.init(self.params)
+        self.global_step = 0
+        self.train_num_rays = cfg.train_num_rays
+        self._train_jit = jax.jit(self._train_step,
+                                  static_argnames=("num_rays",))
+        self._occ_eval_jit = jax.jit(self._occ_eval)
+
+    # ------------------------------------------------------------------
+    def _make_schedule(self):
+        cfg = self.cfg
+        # ConstantLR then ExponentialLR with gamma s.t. total decay = 0.1
+        decay_steps = cfg.max_steps - cfg.constant_steps
+        gamma = cfg.lr_decay_target ** (1.0 / max(decay_steps, 1))
+
+        def schedule(step):
+            s = jnp.maximum(step - cfg.constant_steps, 0)
+            return jnp.power(gamma, s)
+
+        return schedule
+
+    def _level_mask(self):
+        return jnp.asarray(progressive_level_mask(
+            self.global_step, self.cfg.n_levels, 2, self.cfg.start_level,
+            self.cfg.start_step, self.cfg.update_steps))
+
+    def _fd_eps(self):
+        return progressive_fd_eps(
+            self.global_step, self.cfg.radius, self.cfg.base_resolution,
+            self.cfg.per_level_scale, self.cfg.start_level,
+            self.cfg.start_step, self.cfg.update_steps, self.cfg.n_levels)
+
+    def cos_anneal_ratio(self):
+        end = self.cfg.cos_anneal_end
+        return 1.0 if end == 0 else min(1.0, self.global_step / end)
+
+    def _occ_eval(self, params, pts, level_mask):
+        sdf = self.geometry.apply(params["geometry"], pts, method="sdf",
+                                  level_mask=level_mask)
+        inv_s = jnp.clip(self.variance.apply(params["variance"]), 1e-6, 1e6)
+        step = self.renderer.step_size
+        prev_cdf = jax.nn.sigmoid((sdf + step * 0.5) * inv_s)
+        next_cdf = jax.nn.sigmoid((sdf - step * 0.5) * inv_s)
+        return jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _sample_batch(self, rng, num_rays: int):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        idx = jax.random.randint(r1, (num_rays,), 0, self.n_images)
+        x = jax.random.randint(r2, (num_rays,), 0, self.w)
+        y = jax.random.randint(r3, (num_rays,), 0, self.h)
+        dirs_cam = self.directions[y, x]
+        c2w = self.c2ws[idx]
+        # d_world = R_c2w @ d_cam
+        rays_d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs_cam)
+        rays_d = rays_d / (jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-12)
+        rays_o = c2w[:, :3, 3]
+        rgb = self.images[idx, y, x]
+        fg = self.fg_masks[idx, y, x]
+        normal = (self.normals[idx, y, x] if self.normals is not None
+                  else jnp.zeros((num_rays, 3)))
+        return rays_o, rays_d, rgb, fg, normal
+
+    def _train_step(self, params, opt_state, rng, binary, level_mask,
+                    fd_eps, cos_ratio, step, num_rays: int):
+        cfg = self.cfg
+        rng_batch, rng_render, rng_sparse, rng_perturb = jax.random.split(rng, 4)
+        rays_o, rays_d, rgb_gt, fg, normal_gt = self._sample_batch(
+            rng_batch, num_rays)
+        bg = jnp.zeros(3) if cfg.background_color == "black" else jnp.ones(3)
+        rgb_gt = rgb_gt * fg[:, None] + bg[None] * (1 - fg[:, None])
+
+        def loss_fn(params):
+            inv_s = jnp.clip(self.variance.apply(params["variance"]), 1e-6, 1e6)
+
+            def sdf_grad_feat(pts):
+                sdf, grad, feat = self.geometry.apply(
+                    params["geometry"], pts, eps=fd_eps, level_mask=level_mask)
+                return sdf, grad, feat
+
+            def rgb_fn(feat, nrm):
+                return self.texture.apply(params["texture"], feat, nrm)
+
+            out = self.renderer(rays_o, rays_d, sdf_grad_feat, rgb_fn, inv_s,
+                                cos_anneal_ratio=cos_ratio,
+                                occupancy_binary=binary,
+                                background_color=bg, rng=rng_render)
+
+            losses = {}
+            # rgb (mse on valid rays, neus_videonvs.py:200-213)
+            rgb_mask = out.rays_valid & (fg >= 0)  # rgb_mask==all here
+            err = jnp.sum((out.comp_rgb - rgb_gt) ** 2, axis=-1)
+            losses["rgb_mse"] = ranking_loss(err, 1.0, rgb_mask) * cfg.lambda_rgb_mse
+            # normal cosine loss weighted by exp(|cos(view, gt_normal)|)
+            if self.normals is not None and cfg.lambda_normal > 0:
+                cosines = jnp.sum(rays_d * normal_gt, axis=-1)
+                cosines = jnp.where(cosines > -0.1, 0.0, cosines)
+                nmask = (fg > 0) & (cosines < -0.1)
+                nrm_a = jnp.sqrt(jnp.sum(out.comp_normal**2, axis=-1) + 1e-12)
+                nrm_b = jnp.sqrt(jnp.sum(normal_gt**2, axis=-1) + 1e-12)
+                nerr = 1.0 - jnp.sum(out.comp_normal * normal_gt, axis=-1) / (
+                    nrm_a * nrm_b)
+                w = jnp.exp(jnp.abs(cosines))
+                nerr = nerr * w / jnp.maximum(jnp.sum(w), 1e-12)
+                losses["normal"] = ranking_loss(
+                    nerr, cfg.normal_p_ratio, nmask,
+                    reduction="sum") * cfg.lambda_normal
+            # eikonal on all sample grads (neus_videonvs.py:242-246); safe
+            # sqrt: FD grads are exactly 0 for samples clamped outside the
+            # cube, where norm's backward would be NaN
+            gnorm = jnp.sqrt(jnp.sum(out.sdf_grad**2, axis=-1) + 1e-12)
+            losses["eikonal"] = jnp.mean((gnorm - 1.0) ** 2) * cfg.lambda_eikonal
+            # mask bce
+            opac = jnp.clip(out.opacity, 1e-3, 1 - 1e-3)
+            losses["mask"] = jnp.mean(
+                binary_cross_entropy(opac, fg)) * cfg.lambda_mask
+            if cfg.lambda_opaque > 0:
+                losses["opaque"] = jnp.mean(
+                    binary_cross_entropy(opac, opac)) * cfg.lambda_opaque
+            # sparsity on random points (neus.py:329-335)
+            rand_pts = jax.random.uniform(
+                rng_sparse, (num_rays, 3), minval=-cfg.radius, maxval=cfg.radius)
+            rand_sdf, rand_grad, _ = sdf_grad_feat(rand_pts)
+            losses["sparsity"] = jnp.mean(
+                jnp.exp(-cfg.sparsity_scale * jnp.abs(rand_sdf))) * cfg.lambda_sparsity
+            # 3D normal smoothness (neus_videonvs.py:305-324)
+            if cfg.lambda_3d_normal_smooth > 0:
+                perturb = rand_pts + jax.random.normal(
+                    rng_perturb, rand_pts.shape) * 1e-2
+                _, grad_p, _ = sdf_grad_feat(perturb)
+                losses["3d_normal_smooth"] = jnp.mean(
+                    jnp.abs(rand_grad - grad_p)) * cfg.lambda_3d_normal_smooth
+            # distortion (flatten_eff_distloss equivalent, static-shape)
+            if cfg.lambda_distortion > 0:
+                losses["distortion"] = distortion_loss(
+                    out.weights, out.midpoints, out.intervals) * cfg.lambda_distortion
+
+            total = sum(losses.values())
+            n_live = jnp.sum(out.sample_mask)
+            return total, (losses, n_live, out.opacity)
+
+        (loss, (losses, n_live, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, losses, n_live
+
+    # ------------------------------------------------------------------
+    def train_iter(self) -> Dict:
+        cfg = self.cfg
+        self.rng, rng_step, rng_occ = jax.random.split(self.rng, 3)
+        level_mask = self._level_mask()
+        # occupancy grid update (jitted eval over cell centers)
+        if cfg.grid_prune:
+            self.occ.update(
+                self.global_step,
+                lambda pts: self._occ_eval_jit(self.params, pts, level_mask),
+                rng_occ)
+        num_rays = self._quantized_rays()
+        self.params, self.opt_state, loss, losses, n_live = self._train_jit(
+            self.params, self.opt_state, rng_step, self.occ.binary, level_mask,
+            self._fd_eps(), self.cos_anneal_ratio(),
+            jnp.asarray(self.global_step), num_rays=num_rays)
+        self.global_step += 1
+        # dynamic ray-count adaptation toward a fixed sample budget
+        if cfg.dynamic_ray_sampling:
+            budget = cfg.train_num_rays * 64
+            live = max(float(n_live), 1.0)
+            target = int(num_rays * budget / live)
+            self.train_num_rays = min(
+                int(self.train_num_rays * 0.9 + target * 0.1),
+                cfg.max_train_num_rays)
+        return {"loss": float(loss), "num_rays": num_rays,
+                **{k: float(v) for k, v in losses.items()}}
+
+    def _quantized_rays(self) -> int:
+        """Round the adaptive ray count to a power of two (bounded number of
+        jit specializations on TPU)."""
+        n = max(self.cfg.train_num_rays, min(self.train_num_rays,
+                                             self.cfg.max_train_num_rays))
+        return 1 << int(np.floor(np.log2(n)))
+
+    # ------------------------------------------------------------------
+    def render_image(self, c2w: np.ndarray, chunk: int = 4096):
+        """Full-frame render for validation (neus_videonvs.py:340-400)."""
+        dirs = np.asarray(self.directions).reshape(-1, 3)
+        c2w = jnp.asarray(c2w, jnp.float32)
+        rays_d = dirs @ np.asarray(c2w[:3, :3]).T
+        rays_d = rays_d / (np.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-12)
+        rays_o = np.broadcast_to(np.asarray(c2w[:3, 3]), rays_d.shape)
+        level_mask = self._level_mask()
+        inv_s = jnp.clip(self.variance.apply(self.params["variance"]), 1e-6, 1e6)
+        bg = jnp.zeros(3) if self.cfg.background_color == "black" else jnp.ones(3)
+        outs = []
+        for s in range(0, rays_d.shape[0], chunk):
+            e = min(s + chunk, rays_d.shape[0])
+            ro = jnp.asarray(rays_o[s:e])
+            rd = jnp.asarray(rays_d[s:e])
+
+            def sdf_grad_feat(pts):
+                return self.geometry.apply(self.params["geometry"], pts,
+                                           eps=self._fd_eps(),
+                                           level_mask=level_mask)
+
+            def rgb_fn(feat, nrm):
+                return self.texture.apply(self.params["texture"], feat, nrm)
+
+            out = self.renderer(ro, rd, sdf_grad_feat, rgb_fn, inv_s,
+                                cos_anneal_ratio=self.cos_anneal_ratio(),
+                                occupancy_binary=self.occ.binary,
+                                background_color=bg)
+            outs.append((np.asarray(out.comp_rgb), np.asarray(out.opacity),
+                         np.asarray(out.depth)))
+        rgb = np.concatenate([o[0] for o in outs]).reshape(self.h, self.w, 3)
+        opac = np.concatenate([o[1] for o in outs]).reshape(self.h, self.w)
+        depth = np.concatenate([o[2] for o in outs]).reshape(self.h, self.w)
+        return rgb, opac, depth
+
+    def sdf_grid(self, resolution: int = 128, chunk: int = 262144) -> np.ndarray:
+        """Dense SDF evaluation for marching-cubes export
+        (geometry.py isosurface path)."""
+        r = self.cfg.radius
+        lin = np.linspace(-r, r, resolution, dtype=np.float32)
+        grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1)
+        flat = grid.reshape(-1, 3)
+        level_mask = self._level_mask()
+        out = []
+        for s in range(0, flat.shape[0], chunk):
+            pts = jnp.asarray(flat[s:s + chunk])
+            sdf = self.geometry.apply(self.params["geometry"], pts,
+                                      method="sdf", level_mask=level_mask)
+            out.append(np.asarray(sdf))
+        return np.concatenate(out).reshape(resolution, resolution, resolution)
+
+
+def distortion_loss(weights: jnp.ndarray, midpoints: jnp.ndarray,
+                    intervals: jnp.ndarray) -> jnp.ndarray:
+    """MipNeRF-360 distortion (torch_efficient_distloss equivalent) on the
+    static (R, S) layout: intra-interval + pairwise terms via the standard
+    O(S) prefix-sum form."""
+    w = weights
+    m = midpoints
+    loss_intra = jnp.sum(w * w * intervals, axis=-1) / 3.0
+    wm = w * m
+    w_cum = jnp.cumsum(w, axis=-1)
+    wm_cum = jnp.cumsum(wm, axis=-1)
+    loss_inter = 2.0 * jnp.sum(
+        w * (m * (w_cum - w) - (wm_cum - wm)), axis=-1)
+    return jnp.mean(loss_intra + loss_inter)
