@@ -1,0 +1,124 @@
+"""Tests for marching tetrahedra, mesh IO, the differentiable rasterizer,
+and texture refinement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from v3d_tpu.meshops.mcubes import isosurface, marching_tets
+from v3d_tpu.meshops.mesh import Mesh
+from v3d_tpu.meshops.rasterize import (
+    MeshRasterizer,
+    perspective_from_fov,
+    verts_to_clip,
+)
+
+
+def _sphere_sdf(pts, r=0.6):
+    return np.linalg.norm(pts, axis=-1) - r
+
+
+def test_marching_tets_sphere():
+    n = 48
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    sdf = _sphere_sdf(grid.reshape(-1, 3)).reshape(n, n, n)
+    verts, faces = marching_tets(sdf, spacing=2.0 / (n - 1))
+    assert len(verts) > 100 and len(faces) > 100
+    # all vertices near the r=0.6 sphere
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 0.6) < 0.02
+    assert r.std() < 0.02
+    # faces index valid vertices
+    assert faces.max() < len(verts)
+
+
+def test_isosurface_two_pass():
+    verts, faces = isosurface(_sphere_sdf, radius=1.0, resolution=64,
+                              coarse_resolution=24)
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 0.6) < 0.02
+
+
+def test_mesh_io_roundtrip(tmp_path):
+    verts, faces = isosurface(_sphere_sdf, radius=1.0, resolution=32,
+                              coarse_resolution=16)
+    colors = np.random.RandomState(0).rand(len(verts), 3).astype(np.float32)
+    mesh = Mesh(verts, faces, vertex_colors=colors).auto_normal()
+    # normals point outward for a sphere
+    dots = np.sum(mesh.vertex_normals * verts / np.linalg.norm(
+        verts, axis=1, keepdims=True), axis=1)
+    assert (dots > 0).mean() > 0.95
+
+    obj = str(tmp_path / "m.obj")
+    mesh.write_obj(obj)
+    m2 = Mesh.read_obj(obj)
+    np.testing.assert_allclose(m2.vertices, mesh.vertices, rtol=1e-5)
+    np.testing.assert_array_equal(m2.faces, mesh.faces)
+    np.testing.assert_allclose(m2.vertex_colors, colors, atol=1e-5)
+
+    mesh.write_ply(str(tmp_path / "m.ply"))
+    mesh.write_glb(str(tmp_path / "m.glb"))
+    with open(tmp_path / "m.glb", "rb") as f:
+        assert f.read(4) == b"glTF"
+
+
+def test_rasterizer_triangle():
+    """One big triangle in front of the camera covers the image center."""
+    verts = jnp.asarray([[-1.0, -1.0, -2.0], [1.0, -1.0, -2.0], [0.0, 1.5, -2.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    colors = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    proj = jnp.asarray(perspective_from_fov(60.0))
+    clip = verts_to_clip(verts, proj)
+    r = MeshRasterizer(32, 32, max_per_tile=4, tile_chunk=2)
+    out = r(clip, faces, colors)
+    assert bool(out.mask[16, 16])
+    assert not bool(out.mask[0, 0])
+    # center color approx average of corners where barycentric ~ 1/3 each
+    c = np.asarray(out.attr[18, 16])
+    assert c.sum() > 0.9  # barycentrics sum to 1 on covered pixels
+    np.testing.assert_allclose(np.asarray(out.bary[18, 16]).sum(), 1.0,
+                               atol=1e-4)
+
+
+def test_rasterizer_depth_order():
+    # red triangle in front of blue
+    verts = jnp.asarray([
+        [-1.0, -1.0, -2.0], [1.0, -1.0, -2.0], [0.0, 1.5, -2.0],   # near
+        [-1.0, -1.0, -4.0], [1.0, -1.0, -4.0], [0.0, 1.5, -4.0],   # far
+    ])
+    faces = jnp.asarray([[3, 4, 5], [0, 1, 2]], jnp.int32)
+    colors = jnp.asarray([[1.0, 0, 0]] * 3 + [[0, 0, 1.0]] * 3)
+    proj = jnp.asarray(perspective_from_fov(60.0))
+    out = MeshRasterizer(16, 16, 4, 2)(verts_to_clip(verts, proj), faces, colors)
+    c = np.asarray(out.attr[8, 8])
+    assert c[0] > 0.9 and c[2] < 0.1
+
+
+def test_texture_refine_converges():
+    from v3d_tpu.meshops.refine import RefineConfig, TextureRefiner
+
+    verts, faces = isosurface(_sphere_sdf, radius=1.0, resolution=24,
+                              coarse_resolution=12)
+    mesh = Mesh(verts, faces)
+    # target: solid green object on white bg from every view
+    T, res = 4, 32
+    frames = np.ones((T, res, res, 3), np.float32)
+    # render coverage mask per view to paint only the object green
+    cfg = RefineConfig(iters=150, num_opt_views=4, max_per_tile=512,
+                       tile_chunk=2, radius=2.0, lr=0.05)
+    refiner = TextureRefiner(mesh, frames, cfg)
+    img0, mask0 = jax.jit(refiner.render)(refiner.logits, 0)
+    frames = np.ones((T, res, res, 3), np.float32)
+    for i in range(T):
+        _, m = jax.jit(refiner.render)(refiner.logits, i)
+        m = np.asarray(m)
+        frames[i][m > 0.5] = [0.1, 0.8, 0.1]
+    refiner = TextureRefiner(mesh, frames, cfg)
+    losses = refiner.run(150)
+    assert losses[-1] < losses[0] * 0.5
+    out = refiner.export()
+    green = out.vertex_colors[:, 1].mean()
+    assert green > out.vertex_colors[:, 0].mean()

@@ -35,8 +35,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if backend == "auto":
         backend = _pick_backend(q)
     if backend == "flash":
-        from v3d_tpu.ops.flash_attention import flash_attention
-
+        try:
+            from v3d_tpu.ops.flash_attention import flash_attention
+        except ImportError:
+            return xla_attention(q, k, v)
         return flash_attention(q, k, v)
     return xla_attention(q, k, v)
 
@@ -45,7 +47,8 @@ def _pick_backend(q) -> str:
     # Flash pays off for long sequences on TPU; otherwise XLA's fused softmax
     # attention is already near roofline for these sizes.
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and q.shape[1] >= 1024 and q.shape[-1] % 128 == 0:
+    d = q.shape[-1]
+    if on_tpu and q.shape[1] >= 1024 and (d == 64 or d % 128 == 0):
         return "flash"
     return "xla"
 
