@@ -44,12 +44,11 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _pick_backend(q) -> str:
-    # Flash pays off for long sequences on TPU; otherwise XLA's fused softmax
-    # attention is already near roofline for these sizes.
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    d = q.shape[-1]
-    if on_tpu and q.shape[1] >= 1024 and (d == 64 or d % 128 == 0):
-        return "flash"
+    # Measured on v5e (36x4096x5x64 and 6x4096x1x512): XLA's own fused
+    # attention currently beats our Pallas kernel (16 vs 51 ms / 8.8 vs 11
+    # ms), so "auto" resolves to XLA.  The flash kernel remains available via
+    # set_default_backend("flash") and is the basis for future head-folded /
+    # larger-block tuning.
     return "xla"
 
 

@@ -1,15 +1,17 @@
 """Pallas TPU flash attention (replacement for xformers / torch SDPA,
 sgm/modules/attention.py:20-60,352-437).
 
-Online-softmax tiled attention: the grid walks (batch*heads, q_blocks); each
-program streams K/V blocks through VMEM keeping running (max, sum, acc)
-statistics, so the s x s score matrix never materializes.  Backward is a
-custom VJP that recomputes attention with the XLA einsum path (flash forward
-+ rematerialized backward — same math, no stored probabilities).
+Online-softmax tiled attention.  The grid is (batch*heads, q_blocks,
+k_blocks): K/V stream through VMEM one block at a time (bounded VMEM even at
+d=512 for the VAE's single-head attention), with running (max, sum, acc)
+kept in VMEM scratch across the k dimension of the grid; the output block is
+written on the last k step.  Backward is a custom VJP that recomputes
+attention with the XLA einsum path (flash forward + rematerialized backward
+— same math, no stored probability matrix).
 
-Used for the UNet's spatial attention (4096 tokens) and the VAE mid-block
-attention; tiny temporal attention (t=18) stays on the XLA path
-(ops/attention.py backend picker).
+Used for the UNet's spatial attention (4096 tokens, d=64) and the VAE
+mid-block attention (4096 tokens, d=512); tiny temporal attention (t=18)
+stays on the XLA path (ops/attention.py backend picker).
 """
 
 from __future__ import annotations
@@ -26,50 +28,62 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
-    # q_ref: (block_q, d); k_ref/v_ref: (s, d); o_ref: (block_q, d)
-    block_q, d = q_ref.shape
-    s = k_ref.shape[0]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  sm_scale: float):
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[:].astype(jnp.float32) * sm_scale
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
 
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    p = jnp.exp(scores - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[:] = m_new
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-        p = jnp.exp(scores - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l, acc
-
-    m, l, acc = jax.lax.fori_loop(0, s // block_k, body, (m0, l0, acc0))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, block_q: int, block_k: int):
+def _flash_forward(q, k, v, block_q: int, block_k: int,
+                   interpret: bool = False):
     """q: (bh, sq, d), k/v: (bh, sk, d) -> (bh, sq, d)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     sm_scale = 1.0 / math.sqrt(d)
-    grid = (bh, sq // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k,
-                               sm_scale=sm_scale)
+    grid = (bh, sq // block_q, sk // block_k)
+    kernel = functools.partial(_flash_kernel, sm_scale=sm_scale)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b, qi, ki: (b, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(q, k, v)
 
 
@@ -104,8 +118,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
     """q: (b, sq, h, d); k/v: (b, sk, h, d) -> (b, sq, h, d).
 
-    Falls back to the XLA path when shapes don't tile (sq % block_q or
-    sk % block_k nonzero)."""
+    Falls back to the XLA path when shapes don't tile."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     bq = min(block_q, sq)
