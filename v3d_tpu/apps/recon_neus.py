@@ -1,0 +1,118 @@
+"""NeuS mesh reconstruction CLI (counterpart of mesh_recon/launch.py with
+the v3d dataset + videonvs-neus-system).
+
+Reads a generated orbit mp4 (+ optional per-frame normal maps), fits the SDF
+field, and exports the marching-tetrahedra mesh with vertex colors.
+
+    python -m v3d_tpu.apps.recon_neus --video out.mp4 --output mesh_out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def foreground_masks(frames: np.ndarray, threshold: float = 0.95) -> np.ndarray:
+    """White-background matting fallback (the reference runs rembg per frame,
+    mesh_recon/datasets/v3d.py:159-161; V3D outputs have white bg)."""
+    bg = np.all(frames > threshold, axis=-1)
+    return (~bg).astype(np.float32)
+
+
+def reconstruct(video_path: str, output: str, max_steps: int = 3000,
+                radius: float = 1.0, num_samples: int = 1024,
+                train_num_rays: int = 256, fov: float = 60.0,
+                cam_radius: float = 2.0, elevation: float = 0.0,
+                mc_resolution: int = 384, normals_path: str = None,
+                seed: int = 0, log_every: int = 100):
+    import jax
+
+    from v3d_tpu.data.cameras import (
+        fov2focal,
+        get_ray_directions,
+        get_uniform_poses,
+    )
+    from v3d_tpu.data.video_io import read_video
+    from v3d_tpu.meshops.mcubes import isosurface
+    from v3d_tpu.meshops.mesh import Mesh
+    from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
+
+    frames = read_video(video_path).astype(np.float32) / 255.0
+    t, h, w = frames.shape[:3]
+    fg = foreground_masks(frames)
+    normals = np.load(normals_path) if normals_path else None
+    # v3d dataset conventions (mesh_recon/datasets/v3d.py:141-154):
+    # OpenGL poses on the fixed orbit, focal from the 60 deg FOV
+    poses = get_uniform_poses(t, cam_radius, elevation, opengl=True)
+    focal = fov2focal(np.deg2rad(fov), w)
+    dirs = get_ray_directions(h, w, focal)
+
+    cfg = NeusConfig(radius=radius, num_samples_per_ray=num_samples,
+                     train_num_rays=train_num_rays, max_steps=max_steps,
+                     lambda_normal=1.0 if normals is not None else 0.0)
+    trainer = NeusTrainer(frames, fg, dirs, poses, normals=normals,
+                          config=cfg, seed=seed)
+    for i in range(max_steps):
+        stats = trainer.train_iter()
+        if (i + 1) % log_every == 0:
+            print(f"step {i+1} " + " ".join(
+                f"{k}={v:.4f}" for k, v in stats.items()
+                if isinstance(v, float)))
+
+    os.makedirs(output, exist_ok=True)
+
+    def sdf_fn(pts):
+        import jax.numpy as jnp
+
+        level_mask = trainer._level_mask()
+        out = []
+        for s in range(0, len(pts), 262144):
+            chunk = jnp.asarray(pts[s:s + 262144])
+            out.append(np.asarray(trainer.geometry.apply(
+                trainer.params["geometry"], chunk, method="sdf",
+                level_mask=level_mask)))
+        return np.concatenate(out)
+
+    verts, faces = isosurface(sdf_fn, radius=radius,
+                              resolution=mc_resolution)
+    mesh = Mesh(verts, faces).auto_normal()
+    # vertex colors from the radiance field (export_vertex_color, neus
+    # export path models/neus.py:424-441)
+    import jax.numpy as jnp
+
+    level_mask = trainer._level_mask()
+    cols = []
+    for s in range(0, len(verts), 65536):
+        pts = jnp.asarray(verts[s:s + 65536])
+        sdf, grad, feat = trainer.geometry.apply(
+            trainer.params["geometry"], pts, eps=trainer._fd_eps(),
+            level_mask=level_mask)
+        nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+        rgb = trainer.texture.apply(trainer.params["texture"], feat, nrm)
+        cols.append(np.asarray(rgb))
+    mesh.vertex_colors = np.concatenate(cols)
+    obj_path = os.path.join(output, "mesh.obj")
+    mesh.write_obj(obj_path)
+    mesh.write_glb(os.path.join(output, "mesh.glb"))
+    print(f"saved {obj_path} ({len(verts)} verts, {len(faces)} faces)")
+    return trainer, mesh
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--video", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-steps", type=int, default=3000)
+    p.add_argument("--mc-resolution", type=int, default=384)
+    p.add_argument("--normals", default=None,
+                   help="optional (T,H,W,3) world-space normals .npy")
+    args = p.parse_args()
+    reconstruct(args.video, args.output, args.max_steps,
+                mc_resolution=args.mc_resolution, normals_path=args.normals)
+
+
+if __name__ == "__main__":
+    main()

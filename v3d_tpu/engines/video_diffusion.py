@@ -150,6 +150,25 @@ class VideoDiffusionEngine:
         return self.scale_factor * gaussian_sample(rng, moments)
 
     # -- training ----------------------------------------------------------
+    def training_cond(self, batch: Dict, num_frames: Optional[int] = None) -> Dict:
+        """Build the frame-flattened cond dict from a video_collate batch
+        (loss.py:58-64 per-frame repeat + conditioner routing).  Expects
+        batch fields as produced by data.objaverse.video_collate: per-video
+        cond_frames/cond_frames_without_noise, per-frame scalars."""
+        t = num_frames or self.num_frames
+        clip_emb = jnp.asarray(batch["cond_frames_without_noise"])
+        if clip_emb.ndim == 2:
+            clip_emb = clip_emb[:, None, :]
+        concat = jnp.asarray(batch["cond_frames"])
+        emb = ConcatTimestepEmbedderND(256)
+        vector = jnp.concatenate([
+            emb(jnp.asarray(batch["fps_id"])),
+            emb(jnp.asarray(batch["motion_bucket_id"])),
+            emb(jnp.asarray(batch["cond_aug"])),
+        ], axis=-1)
+        cond = {"crossattn": clip_emb, "concat": concat, "vector": vector}
+        return repeat_cond_per_frame(cond, t)
+
     def training_loss(self, unet_params, rng: jax.Array, latents: jnp.ndarray,
                       cond: Dict, num_frames: Optional[int] = None,
                       sigma_per_video: bool = False) -> jnp.ndarray:
