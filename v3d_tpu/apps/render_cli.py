@@ -1,0 +1,69 @@
+"""Re-render a trained 3DGS scene (counterparts of recon/render_spiral.py,
+render.py, render_depth.py): load a point_cloud.ply, render the orbit (or an
+interpolated smooth path) as rgb/depth videos.
+
+    python -m v3d_tpu.apps.render_cli --ply scene/point_cloud.ply \
+        --output renders/ [--mode spiral|orbit|depth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def render_scene(ply_path: str, output: str, mode: str = "spiral",
+                 num_frames: int = 60, resolution: int = 512,
+                 radius: float = 2.0, elevation: float = 0.0,
+                 fov: float = 60.0, white_background: bool = True):
+    import jax.numpy as jnp
+
+    from v3d_tpu.data.cam_paths import get_interpolated_path
+    from v3d_tpu.data.cameras import Camera, get_uniform_poses
+    from v3d_tpu.data.video_io import write_video
+    from v3d_tpu.gs.gaussians import GaussianParams
+    from v3d_tpu.gs.ply import load_ply
+    from v3d_tpu.gs.render import render
+
+    g_np = load_ply(ply_path)
+    g = GaussianParams(**{k: jnp.asarray(v) for k, v in g_np.items()})
+    if mode == "spiral":
+        base = get_uniform_poses(18, radius, elevation)
+        poses = get_interpolated_path(base, max(1, num_frames // 18))
+    else:
+        poses = get_uniform_poses(num_frames, radius, elevation)
+    bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    rgbs, depths = [], []
+    for pose in poses:
+        cam = Camera.from_c2w(pose, fov, resolution, resolution)
+        out = render(g, cam, bg, active_sh_degree=g.sh_degree)
+        rgbs.append(np.asarray(out.image))
+        depths.append(np.asarray(out.depth))
+    os.makedirs(output, exist_ok=True)
+    write_video(os.path.join(output, f"{mode}.mp4"),
+                (np.clip(np.stack(rgbs), 0, 1) * 255).astype(np.uint8), fps=10)
+    if mode == "depth" or True:
+        d = np.stack(depths)
+        d = d / max(d.max(), 1e-6)
+        dc = (np.stack([d] * 3, -1) * 255).astype(np.uint8)
+        write_video(os.path.join(output, "depth.mp4"), dc, fps=10)
+    print(f"rendered {len(poses)} views to {output}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ply", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default="spiral",
+                   choices=["spiral", "orbit", "depth"])
+    p.add_argument("--num-frames", type=int, default=60)
+    p.add_argument("--resolution", type=int, default=512)
+    args = p.parse_args()
+    render_scene(args.ply, args.output, args.mode, args.num_frames,
+                 args.resolution)
+
+
+if __name__ == "__main__":
+    main()

@@ -405,3 +405,23 @@ def _convert_clip_key(k: str):
             p, f = _map_linear(mm.group(1), mm.group(2))
             return prefix + p, f
     return None
+
+
+def expand_unet_input_channels(unet_params: Dict, new_in_channels: int) -> Dict:
+    """Channel-expansion checkpoint surgery
+    (sgm/models/video3d_diffusion.py:131-146): when the target UNet has more
+    input channels than the checkpoint (extra conditioning planes), the input
+    conv kernel is zero-padded on the input-channel dim, keeping the original
+    channels' weights."""
+    import jax.numpy as jnp
+
+    tree = unet_params["params"] if "params" in unet_params else unet_params
+    kernel = tree["in_0_0"]["kernel"]  # (kh, kw, in, out)
+    cur = kernel.shape[2]
+    if cur == new_in_channels:
+        return unet_params
+    assert new_in_channels > cur, "can only expand input channels"
+    pad = np.zeros(kernel.shape[:2] + (new_in_channels - cur,
+                                       kernel.shape[3]), np.float32)
+    tree["in_0_0"]["kernel"] = np.concatenate([np.asarray(kernel), pad], axis=2)
+    return unet_params
