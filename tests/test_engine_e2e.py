@@ -17,6 +17,7 @@ def tiny():
     return engine, params
 
 
+@pytest.mark.slow
 def test_sample_and_decode(tiny):
     engine, params = tiny
     rng = jax.random.PRNGKey(1)
@@ -41,6 +42,7 @@ def test_sample_and_decode(tiny):
     assert np.isfinite(f).all() and f.min() >= 0.0 and f.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_sample_jit_and_sharded(tiny):
     """The full sampling loop jitted under a 8-device mesh with the frame
     batch sharded on the data axis."""
@@ -75,6 +77,7 @@ def test_sample_jit_and_sharded(tiny):
                                rtol=1e-2, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_training_loss(tiny):
     engine, params = tiny
     t = engine.num_frames

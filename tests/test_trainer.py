@@ -59,6 +59,7 @@ def test_lr_schedules():
     assert float(cos(100)) == pytest.approx(0.1, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_diffusion_trainer_steps():
     t = 8
     engine = build_tiny_engine(num_frames=t, resolution=64)

@@ -47,8 +47,13 @@ def sample_one(input_path: str, checkpoint_path: Optional[str] = None,
     if params is None:
         if checkpoint_path:
             from v3d_tpu.core.checkpoint import load_v3d_params
+            from v3d_tpu.utils.params import cast_params
 
             params = load_v3d_params(checkpoint_path)
+            if bf16:
+                # bf16-resident weights: required to fit + run fast on one
+                # 16GB chip (see utils/params.py)
+                params = cast_params(params)
         else:
             print("WARNING: no checkpoint given — using random weights "
                   "(output will be noise; for pipeline testing only)")

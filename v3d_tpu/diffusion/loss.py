@@ -46,3 +46,26 @@ class StandardDiffusionLoss:
         else:
             raise NotImplementedError(self.loss_type)
         return jnp.mean(per.reshape(inputs.shape[0], -1), axis=1)
+
+
+@register("diffusion_loss_with_pixelnerf")
+@dataclasses.dataclass(frozen=True)
+class StandardDiffusionLossWithPixelNeRFLoss(StandardDiffusionLoss):
+    """loss.py:120-186: adds an L2 term between the PixelNeRF-rendered rgb
+    (provided in cond["rgb"]) and the target views, weighted by
+    ``pixelnerf_loss_weight``."""
+
+    pixelnerf_loss_weight: float = 1.0
+
+    def __call__(self, network, denoiser, cond, inputs, rng,
+                 extra_model_inputs=None, rgb_target=None):
+        base = StandardDiffusionLoss.__call__(
+            self, network, denoiser,
+            {k: v for k, v in cond.items() if k != "rgb"},
+            inputs, rng, extra_model_inputs)
+        if "rgb" in cond and rgb_target is not None:
+            rgb_loss = jnp.mean(
+                (cond["rgb"] - rgb_target) ** 2.0,
+                axis=tuple(range(1, rgb_target.ndim)))
+            base = base + self.pixelnerf_loss_weight * rgb_loss
+        return base
