@@ -166,3 +166,39 @@ class SceneOrbitDataset:
             "num_video_frames": t,
         }
         return item
+
+
+def load_dtu_scene(root: str, images_dir: str = "image",
+                   masks_dir: str = "mask") -> SceneFrames:
+    """DTU scenes with cameras.npz world_mat_N/scale_mat_N
+    (mesh_recon/datasets/dtu.py): decompose P = K [R|t] and normalize."""
+    import cv2
+    from PIL import Image
+
+    cams = np.load(os.path.join(root, "cameras.npz"))
+    n = len([k for k in cams.files if k.startswith("world_mat_")
+             and not k.startswith("world_mat_inv")])
+    images, poses, Ks, masks = [], [], [], []
+    for i in range(n):
+        P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
+        K, R, t = cv2.decomposeProjectionMatrix(P)[:3]
+        K = K / K[2, 2]
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = R.T
+        c2w[:3, 3] = (t[:3] / t[3])[:, 0]
+        c2w[:, 1:3] *= -1  # OpenCV -> OpenGL
+        img_path = os.path.join(root, images_dir, f"{i:06d}.png")
+        img = np.asarray(Image.open(img_path).convert("RGB"),
+                         np.float32) / 255.0
+        mask_path = os.path.join(root, masks_dir, f"{i:03d}.png")
+        if os.path.exists(mask_path):
+            m = np.asarray(Image.open(mask_path).convert("L"),
+                           np.float32) / 255.0
+        else:
+            m = np.ones(img.shape[:2], np.float32)
+        images.append(img)
+        poses.append(c2w)
+        Ks.append(K.astype(np.float32))
+        masks.append(m)
+    return SceneFrames(np.stack(images), np.stack(poses), np.stack(Ks),
+                       np.stack(masks), opengl=True)
