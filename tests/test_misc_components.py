@@ -156,3 +156,21 @@ def test_unet2d_runs():
                       jnp.zeros((2, 3, 32)))
     out = net.apply(params, x, jnp.ones((2,)), jnp.zeros((2, 3, 32)))
     assert out.shape == (2, 16, 16, 4)
+
+
+def test_safety_head_real_weights():
+    """Run the linear-probe heads with the v1 npz layout (uses the reference
+    distribution's head files when present)."""
+    import os
+
+    from v3d_tpu.utils.safety import _run_head
+
+    path = "/root/reference/scripts/util/detection/p_head_v1.npz"
+    if not os.path.exists(path):
+        pytest.skip("reference head weights not present")
+    head = dict(np.load(path))
+    feats = np.random.RandomState(0).randn(3, 768).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    scores = _run_head(head, feats)
+    assert scores.shape == (3,)
+    assert np.all((scores >= 0) & (scores <= 1))

@@ -27,7 +27,12 @@ def _load_head(path: str) -> Optional[Dict[str, np.ndarray]]:
 
 
 def _run_head(head: Dict[str, np.ndarray], feats: np.ndarray) -> np.ndarray:
-    """The heads are small MLPs stored as ordered w/b arrays."""
+    """The v1 heads are linear probes on CLIP features: keys 'weights'
+    (768,) and 'biases' (scalar) (p_head_v1.npz / w_head_v1.npz layout)."""
+    if "weights" in head:
+        logits = feats @ head["weights"].reshape(-1) + float(head["biases"])
+        return 1.0 / (1.0 + np.exp(-logits))
+    # generic MLP fallback: ordered w*/b* arrays
     x = feats
     keys = sorted(k for k in head if k.startswith("w"))
     for i, wk in enumerate(keys):
