@@ -96,3 +96,19 @@ def test_training_loss(tiny):
     )(params["unet"])
     gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.slow
+def test_img2img_partial_denoise(tiny):
+    from v3d_tpu.engines.video_diffusion import img2img_latents
+
+    engine, params = tiny
+    rng = jax.random.PRNGKey(7)
+    image = jnp.zeros((1, 64, 64, 3))
+    clip_emb, cond_frames = engine.encode_image(params, image, rng, 0.02)
+    c, uc = engine.build_cond(clip_emb, cond_frames, 1, 300, 0.02)
+    init = jax.random.normal(jax.random.PRNGKey(8), (4, 8, 8, 4)) * 0.5
+    out = img2img_latents(engine, params, rng, init, c, uc, strength=0.5,
+                          num_steps=2)
+    assert out.shape == init.shape
+    assert np.isfinite(np.asarray(out)).all()

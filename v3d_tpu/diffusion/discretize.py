@@ -68,3 +68,17 @@ class LegacyDDPMDiscretization(Discretization):
             raise ValueError(f"n={n} > num_timesteps={self.num_timesteps}")
         sigmas = ((1 - alphas_cumprod) / alphas_cumprod) ** 0.5
         return sigmas[::-1].astype(np.float32)
+
+
+@register("sliced_discretization")
+@dataclasses.dataclass(frozen=True)
+class SlicedDiscretization(Discretization):
+    """Truncated schedule for img2img (sgm/inference/helpers.py do_img2img:
+    sigmas[init_step:]): wraps a base discretization and drops the first
+    ``skip`` entries while keeping the requested step count semantics."""
+
+    base: Discretization = None
+    skip: int = 0
+
+    def get_sigmas(self, n: int) -> np.ndarray:
+        return self.base.get_sigmas(n + self.skip)[self.skip:]

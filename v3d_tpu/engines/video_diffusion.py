@@ -195,3 +195,42 @@ class VideoDiffusionEngine:
             network, self.denoiser, cond, latents, rng_loss,
             extra_model_inputs={"image_only_indicator": indicator})
         return jnp.mean(per_sample)
+
+
+def img2img_latents(engine: VideoDiffusionEngine, params: Dict,
+                    rng: jax.Array, init_latents: jnp.ndarray, c: Dict,
+                    uc: Dict, strength: float = 0.6,
+                    num_steps: Optional[int] = None) -> jnp.ndarray:
+    """SDEdit-style partial denoising (sgm/inference/helpers.py:243
+    do_img2img): noise the init latents to sigma[init_step] and run the
+    remaining schedule.  ``strength`` in (0, 1] = fraction of steps run."""
+    import dataclasses as _dc
+
+    from v3d_tpu.diffusion.discretize import SlicedDiscretization
+
+    n = num_steps or engine.sampler.num_steps
+    run_steps = max(1, int(round(n * strength)))
+    skip = n - run_steps
+    sampler = _dc.replace(
+        engine.sampler,
+        discretization=SlicedDiscretization(
+            base=engine.sampler.discretization, skip=skip),
+        num_steps=run_steps)
+    sigma0 = float(sampler.schedule()[0])
+    rng_noise, rng_samp = jax.random.split(rng)
+    noise = jax.random.normal(rng_noise, init_latents.shape,
+                              init_latents.dtype)
+    # prepare() rescales by sqrt(1+sigma0^2); hand it x with unit-ish scale:
+    # x0/sqrt(1+s0^2) + noise*s0/sqrt(1+s0^2) so after rescale it is
+    # x0 + s0 * noise (the do_img2img noising).
+    scale = 1.0 / jnp.sqrt(1.0 + sigma0**2)
+    x = (init_latents + sigma0 * noise) * scale
+    t = engine.num_frames
+    indicator = jnp.zeros((2, t), jnp.float32)
+    network = make_unet_network_fn(engine.unet.apply, params["unet"], t)
+
+    def denoiser_fn(xx, sigma, cond):
+        return engine.denoiser(network, xx, sigma, cond,
+                               image_only_indicator=indicator)
+
+    return sampler(denoiser_fn, x, c, uc, rng=rng_samp)
