@@ -1,8 +1,10 @@
 """3DGS fitting loop (counterpart of recon/train_from_vid.py:38-208).
 
-Jitted render+loss+Adam step over fixed-capacity gaussian arrays; host-side
-densify/prune every ``densification_interval`` iters with optimizer-moment
-surgery (reference's _prune_optimizer / cat_tensors_to_optimizer,
+Jitted render+loss+Adam step over fixed-capacity gaussian arrays; parameters
+and densification statistics stay on device — only the rare densify/prune
+events (every ``densification_interval`` iters) round-trip to host, where
+slot rewriting happens in numpy followed by optimizer-moment surgery
+(reference's _prune_optimizer / cat_tensors_to_optimizer,
 gaussian_model.py:375-445, becomes masked moment zeroing on changed slots).
 """
 
@@ -91,9 +93,15 @@ class GSTrainer:
         xyz, colors = random_init_pcd(self.rng, num_pts, radius=radius)
         g = from_pcd(xyz, colors, sh_degree=sh_degree,
                      capacity=capacity or int(num_pts * 2))
-        self.alive = np.array(g.alive)
-        self.params = {k: np.array(getattr(g, k)) for k in FLOAT_FIELDS}
-        self.densify_state = DensifyState.zeros(g.capacity)
+        self.alive = jnp.asarray(g.alive)
+        self.params = {k: jnp.asarray(getattr(g, k)) for k in FLOAT_FIELDS}
+        cap = g.capacity
+        # densification statistics live on device (gaussian_model.py:107-110)
+        self.stats = {
+            "grad_accum": jnp.zeros((cap,)),
+            "denom": jnp.zeros((cap,)),
+            "max_radii": jnp.zeros((cap,)),
+        }
         self.images = jnp.asarray(
             np.stack([c.image for c in cameras]).astype(np.float32))
         self.cam_wvt = jnp.asarray(np.stack([c.world_view_transform for c in cameras]))
@@ -118,9 +126,8 @@ class GSTrainer:
             },
             {k: k for k in FLOAT_FIELDS},
         )
-        self.opt_state = self.opt.init(
-            {k: jnp.asarray(v) for k, v in self.params.items()})
-        self._step_jit = jax.jit(self._train_step)
+        self.opt_state = self.opt.init(self.params)
+        self._step_jit = jax.jit(self._train_step, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
     def _make_cam(self, wvt, fpt, center):
@@ -138,7 +145,8 @@ class GSTrainer:
             screen_offset=screen_offset)
         return out
 
-    def _train_step(self, fp, opt_state, alive, wvt, fpt, center, target, bg):
+    def _train_step(self, fp, opt_state, stats, alive, wvt, fpt, center,
+                    target, bg):
         cfg = self.cfg
         capacity = alive.shape[0]
 
@@ -162,7 +170,15 @@ class GSTrainer:
         updates, opt_state = self.opt.update(grads, opt_state, fp)
         fp = optax.apply_updates(fp, updates)
         visible = out.radii > 0
-        return fp, opt_state, loss, screen_grads, out.radii, visible
+        # on-device densification stats (gaussian_model.py:566-569)
+        gnorm = jnp.linalg.norm(screen_grads, axis=-1)
+        stats = {
+            "grad_accum": stats["grad_accum"] + jnp.where(visible, gnorm, 0.0),
+            "denom": stats["denom"] + visible.astype(jnp.float32),
+            "max_radii": jnp.maximum(stats["max_radii"],
+                                     jnp.where(visible, out.radii, 0.0)),
+        }
+        return fp, opt_state, stats, loss
 
     # ------------------------------------------------------------------
     def train_iter(self, cam_idx: Optional[int] = None) -> Dict:
@@ -175,48 +191,56 @@ class GSTrainer:
         if cfg.random_background:
             bg = jnp.asarray(self.rng.rand(3).astype(np.float32))
 
-        fp = {k: jnp.asarray(v) for k, v in self.params.items()}
-        alive = jnp.asarray(self.alive)
-        fp, self.opt_state, loss, screen_grads, radii, visible = self._step_jit(
-            fp, self.opt_state, alive,
+        self.params, self.opt_state, self.stats, loss = self._step_jit(
+            self.params, self.opt_state, self.stats, self.alive,
             self.cam_wvt[cam_idx], self.cam_fpt[cam_idx],
             self.cam_center[cam_idx], self.images[cam_idx], bg)
-        self.params = {k: np.array(v) for k, v in fp.items()}
 
-        stats = {"loss": float(loss), "iter": it,
-                 "num_alive": int(self.alive.sum())}
+        stats = {"loss": float(loss), "iter": it}
 
         if it < cfg.densify_until_iter:
-            self.densify_state.add_stats(
-                np.asarray(screen_grads), np.asarray(radii), np.asarray(visible))
             if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
-                size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
-                g_np = dict(self.params, alive=self.alive)
-                g_np, self.densify_state, dstats = densify_and_prune(
-                    g_np, self.densify_state, self.rng,
-                    max_grad=cfg.densify_grad_threshold,
-                    min_opacity=cfg.min_opacity, extent=self.extent,
-                    max_screen_size=size_thresh,
-                    percent_dense=cfg.percent_dense)
-                changed = g_np["alive"] != self.alive
-                self.alive = g_np["alive"]
-                self.params = {k: g_np[k] for k in FLOAT_FIELDS}
-                self._surgery(changed)
-                stats.update(dstats)
+                stats.update(self._densify_event())
             if it % cfg.opacity_reset_interval == 0 or (
                     cfg.white_background and it == cfg.densify_from_iter):
-                self.params = {
-                    **self.params,
-                    "opacity": reset_opacity(dict(self.params))["opacity"]}
-                self._surgery(np.ones_like(self.alive), fields=("opacity",))
+                params_np = {k: np.array(v) for k, v in self.params.items()}
+                params_np = reset_opacity(params_np)
+                self.params = {k: jnp.asarray(v) for k, v in params_np.items()}
+                self._surgery(np.ones(self.alive.shape[0], bool),
+                              fields=("opacity",))
         return stats
+
+    def _densify_event(self) -> Dict:
+        """Host-side densify/prune (slow path, every ~100 iters)."""
+        cfg = self.cfg
+        it = self.step_count
+        alive_np = np.array(self.alive)
+        g_np = {k: np.array(v) for k, v in self.params.items()}
+        g_np["alive"] = alive_np
+        state = DensifyState(np.array(self.stats["grad_accum"]),
+                             np.array(self.stats["denom"]),
+                             np.array(self.stats["max_radii"]))
+        size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+        g_np, _, dstats = densify_and_prune(
+            g_np, state, self.rng, max_grad=cfg.densify_grad_threshold,
+            min_opacity=cfg.min_opacity, extent=self.extent,
+            max_screen_size=size_thresh, percent_dense=cfg.percent_dense)
+        changed = g_np["alive"] != alive_np
+        self.alive = jnp.asarray(g_np["alive"])
+        self.params = {k: jnp.asarray(g_np[k]) for k in FLOAT_FIELDS}
+        cap = alive_np.shape[0]
+        self.stats = {"grad_accum": jnp.zeros((cap,)),
+                      "denom": jnp.zeros((cap,)),
+                      "max_radii": jnp.zeros((cap,))}
+        self._surgery(changed)
+        dstats["num_alive"] = int(g_np["alive"].sum())
+        return dstats
 
     def _surgery(self, changed: np.ndarray, fields=FLOAT_FIELDS) -> None:
         """Zero Adam moments on changed slots (reference optimizer-state
         surgery, gaussian_model.py:375-445)."""
-        state = jax.tree_util.tree_map(lambda x: x, self.opt_state)  # copy refs
         flat, treedef = jax.tree_util.tree_flatten(
-            state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            self.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
 
         def fix(leaf):
             if isinstance(leaf, optax.ScaleByAdamState):
@@ -238,10 +262,11 @@ class GSTrainer:
     def render_view(self, cam_idx: int, bg: Optional[jnp.ndarray] = None):
         bg = bg if bg is not None else (
             jnp.ones(3) if self.cfg.white_background else jnp.zeros(3))
-        fp = {k: jnp.asarray(v) for k, v in self.params.items()}
-        return self._render(fp, jnp.asarray(self.alive),
+        return self._render(self.params, self.alive,
                             self.cam_wvt[cam_idx], self.cam_fpt[cam_idx],
                             self.cam_center[cam_idx], None, bg)
 
     def gaussians_np(self) -> Dict[str, np.ndarray]:
-        return dict(self.params, alive=self.alive)
+        out = {k: np.array(v) for k, v in self.params.items()}
+        out["alive"] = np.array(self.alive)
+        return out
