@@ -156,3 +156,42 @@ def test_dead_slots_ignored(cam32):
     img = np.asarray(out.image)
     assert img[..., 0].max() > 0.3
     assert img[..., 1].max() < 0.35  # green (dead) contributes only via SH of red
+
+
+def test_matches_naive_reference_coarse_path(cam32):
+    """Hierarchical (coarse->fine) binning must agree with the naive
+    compositor when budgets are not exceeded."""
+    rs = np.random.RandomState(3)
+    n = 48
+    xyz = rs.randn(n, 3) * 0.35
+    rgb = rs.rand(n, 3)
+    g = make_gaussians(xyz, rgb, scale=0.08, opacity=0.8)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    proj = project_gaussians(g, cam32)
+    cfg = RasterizeConfig(max_per_tile=48, tile_chunk=2, coarse_factor=2,
+                          max_per_coarse=48, force_coarse=True)
+    out = rasterize(proj, 32, 32, bg, cfg)
+    ref_img, ref_acc = naive_rasterize(proj, 32, 32, bg)
+    np.testing.assert_allclose(np.asarray(out.image), ref_img, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.alpha), ref_acc, atol=5e-3)
+
+
+def test_coarse_path_gradients(cam32):
+    rs = np.random.RandomState(4)
+    n = 40
+    g = make_gaussians(rs.randn(n, 3) * 0.3, rs.rand(n, 3), scale=0.1)
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(max_per_tile=40, tile_chunk=2, coarse_factor=2,
+                          max_per_coarse=40, force_coarse=True)
+    fp = {k: getattr(g, k) for k in ("xyz", "f_dc", "scaling", "opacity")}
+
+    def loss(fp):
+        g2 = g._replace(**fp)
+        out = rasterize(project_gaussians(g2, cam32), 32, 32, bg, cfg)
+        return jnp.mean(out.image)
+
+    grads = jax.grad(loss)(fp)
+    for k, v in grads.items():
+        arr = np.asarray(v)
+        assert np.isfinite(arr).all(), f"non-finite grad {k}"
+    assert float(jnp.abs(grads["xyz"]).sum()) > 0

@@ -124,8 +124,11 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    max_per_tile: int = 512       # K: gaussians composited per tile
-    tile_chunk: int = 32          # tiles processed per lax.map step
+    max_per_tile: int = 512       # K: gaussians composited per fine tile
+    tile_chunk: int = 32          # fine tiles processed per lax.map step
+    coarse_factor: int = 4        # coarse cell = coarse_factor^2 fine tiles
+    max_per_coarse: int = 4096    # Kc: gaussians preselected per coarse cell
+    force_coarse: bool = False    # exercise the coarse path even when N <= Kc
 
 
 class RenderOutput(NamedTuple):
@@ -147,13 +150,46 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
     if screen_offset is not None:
         means2d = means2d + screen_offset
 
-    K = min(config.max_per_tile, means2d.shape[0])
+    N = means2d.shape[0]
+    K = min(config.max_per_tile, N)
     n_tx = -(-width // TILE)
     n_ty = -(-height // TILE)
     n_tiles = n_tx * n_ty
 
     tile_ids = jnp.arange(n_tiles)
     depth_masked = jnp.where(proj.valid, proj.depth, jnp.inf)
+
+    gx_all = means2d[:, 0]
+    gy_all = means2d[:, 1]
+    r_all = proj.radius
+
+    # ---- coarse binning: group fine tiles into coarse cells and preselect
+    # the Kc nearest overlapping gaussians per cell.  This turns the
+    # selection cost from n_tiles*N into n_coarse*N + n_tiles*Kc — the CUDA
+    # rasterizer's duplicate-and-sort binning recast as two masked top_ks.
+    cf = config.coarse_factor
+    Kc = min(config.max_per_coarse, N)
+    use_coarse = cf > 1 and (N > Kc or config.force_coarse)
+    if use_coarse:
+        n_cx = -(-n_tx // cf)
+        n_cy = -(-n_ty // cf)
+        ctile = TILE * cf
+        cxs = (jnp.arange(n_cx * n_cy) % n_cx).astype(jnp.float32) * ctile
+        cys = (jnp.arange(n_cx * n_cy) // n_cx).astype(jnp.float32) * ctile
+        c_overlap = ((gx_all[None] + r_all[None] >= cxs[:, None])
+                     & (gx_all[None] - r_all[None] <= cxs[:, None] + ctile)
+                     & (gy_all[None] + r_all[None] >= cys[:, None])
+                     & (gy_all[None] - r_all[None] <= cys[:, None] + ctile))
+        c_score = jnp.where(c_overlap, depth_masked[None], jnp.inf)
+        c_neg, coarse_idx = jax.lax.top_k(-c_score, Kc)  # (n_coarse, Kc)
+        coarse_ok = jnp.isfinite(c_neg)
+        # pre-gather per-gaussian data into coarse slabs
+        cg_m2 = means2d[coarse_idx]
+        cg_con = proj.conic[coarse_idx]
+        cg_col = proj.color[coarse_idx]
+        cg_op = jnp.where(coarse_ok, proj.opacity[coarse_idx], 0.0)
+        cg_dpt = jnp.where(coarse_ok, proj.depth[coarse_idx], jnp.inf)
+        cg_r = jnp.where(coarse_ok, proj.radius[coarse_idx], -1.0)
 
     # pixel coordinates within a tile (TILE*TILE, 2) as (x, y)
     py, px = jnp.mgrid[0:TILE, 0:TILE]
@@ -165,21 +201,39 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         ty = (ids // n_tx).astype(jnp.float32)
         x0 = tx * TILE
         y0 = ty * TILE
-        # overlap test: gaussian bbox (3-sigma) vs tile rect
-        gx = means2d[None, :, 0]
-        gy = means2d[None, :, 1]
-        r = proj.radius[None, :]
-        overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
-                   (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
-        score = jnp.where(overlap, depth_masked[None, :], jnp.inf)
-        neg_depth, idx = jax.lax.top_k(-score, K)          # (C, K) sorted near->far
-        sel_ok = jnp.isfinite(neg_depth)
-
-        m2 = means2d[idx]          # (C, K, 2)
-        con = proj.conic[idx]      # (C, K, 3)
-        col = proj.color[idx]      # (C, K, 3)
-        op = jnp.where(sel_ok, proj.opacity[idx], 0.0)
-        dpt = proj.depth[idx]
+        if use_coarse:
+            cid = (ids // n_tx) // cf * n_cx + (ids % n_tx) // cf  # (C,)
+            gx = cg_m2[cid, :, 0]
+            gy = cg_m2[cid, :, 1]
+            r = cg_r[cid]
+            dpt_src = cg_dpt[cid]
+            overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
+                       (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
+            score = jnp.where(overlap, dpt_src, jnp.inf)
+            neg_depth, sub = jax.lax.top_k(-score, min(K, Kc))  # (C, K)
+            sel_ok = jnp.isfinite(neg_depth)
+            m2 = jnp.take_along_axis(cg_m2[cid], sub[..., None], axis=1)
+            con = jnp.take_along_axis(cg_con[cid], sub[..., None], axis=1)
+            col = jnp.take_along_axis(cg_col[cid], sub[..., None], axis=1)
+            op = jnp.where(sel_ok,
+                           jnp.take_along_axis(cg_op[cid], sub, axis=1), 0.0)
+            dpt = jnp.take_along_axis(cg_dpt[cid], sub, axis=1)
+            dpt = jnp.where(sel_ok, dpt, 0.0)
+        else:
+            # overlap test: gaussian bbox (3-sigma) vs tile rect
+            gx = means2d[None, :, 0]
+            gy = means2d[None, :, 1]
+            r = proj.radius[None, :]
+            overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
+                       (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
+            score = jnp.where(overlap, depth_masked[None, :], jnp.inf)
+            neg_depth, idx = jax.lax.top_k(-score, K)      # (C, K) near->far
+            sel_ok = jnp.isfinite(neg_depth)
+            m2 = means2d[idx]          # (C, K, 2)
+            con = proj.conic[idx]      # (C, K, 3)
+            col = proj.color[idx]      # (C, K, 3)
+            op = jnp.where(sel_ok, proj.opacity[idx], 0.0)
+            dpt = proj.depth[idx]
 
         # pixel centers of this tile chunk: (C, P, 2)
         pix = (tile_pix[None] + jnp.stack([x0, y0], axis=-1)[:, None, :])
