@@ -51,9 +51,17 @@ def bench_neus(res: int = 512, rays: int = 1024, samples: int = 1024,
     dirs = get_ray_directions(res, res, res / (2 * np.tan(np.deg2rad(30))))
     images = np.zeros((18, res, res, 3), np.float32)
     fg = np.ones((18, res, res), np.float32)
+    import jax
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     cfg = NeusConfig(num_samples_per_ray=samples, train_num_rays=rays,
                      max_train_num_rays=rays, dynamic_ray_sampling=False,
-                     lambda_normal=0.0, lambda_3d_normal_smooth=1.0)
+                     lambda_normal=0.0, lambda_3d_normal_smooth=1.0,
+                     geometry_encoding="frequency" if on_tpu else "hashgrid",
+                     grad_type="analytic" if on_tpu else "finite_difference",
+                     geo_neurons=256 if on_tpu else 64,
+                     geo_hidden_layers=4 if on_tpu else 1,
+                     use_occ_lookup=not on_tpu)
     trainer = NeusTrainer(images, fg, dirs, poses, config=cfg)
     trainer.train_iter()  # compile
     t0 = time.perf_counter()

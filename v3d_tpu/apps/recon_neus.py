@@ -50,9 +50,17 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
     focal = fov2focal(np.deg2rad(fov), w)
     dirs = get_ray_directions(h, w, focal)
 
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     cfg = NeusConfig(radius=radius, num_samples_per_ray=num_samples,
                      train_num_rays=train_num_rays, max_steps=max_steps,
-                     lambda_normal=1.0 if normals is not None else 0.0)
+                     lambda_normal=1.0 if normals is not None else 0.0,
+                     # TPU: gather-free geometry (see nerf/encoding.py)
+                     geometry_encoding="frequency" if on_tpu else "hashgrid",
+                     grad_type="analytic" if on_tpu else "finite_difference",
+                     geo_neurons=256 if on_tpu else 64,
+                     geo_hidden_layers=4 if on_tpu else 1,
+                     freq_masking_steps=max_steps // 2 if on_tpu else 0,
+                     use_occ_lookup=not on_tpu)
     trainer = NeusTrainer(frames, fg, dirs, poses, normals=normals,
                           config=cfg, seed=seed)
     for i in range(max_steps):

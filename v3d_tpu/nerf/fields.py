@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from v3d_tpu.nerf.encoding import HashGrid, composite_with_xyz
+from v3d_tpu.nerf.encoding import HashGrid, VanillaFrequency, composite_with_xyz
 
 
 class WNDense(nn.Module):
@@ -98,19 +98,27 @@ class VolumeSDF(nn.Module):
 
     radius: float = 1.0
     feature_dim: int = 13
+    encoding_type: str = "hashgrid"   # "hashgrid" | "frequency"
     n_levels: int = 10
     n_features_per_level: int = 2
     log2_hashmap_size: int = 19
     base_resolution: int = 32
     per_level_scale: float = 1.3195079107728942
+    n_frequencies: int = 8
+    grad_type: str = "finite_difference"  # or "analytic"
     n_neurons: int = 64
     n_hidden_layers: int = 1
     sphere_init_radius: float = 0.5
 
     def setup(self):
-        self.encoding = HashGrid(self.n_levels, self.n_features_per_level,
-                                 self.log2_hashmap_size, self.base_resolution,
-                                 self.per_level_scale, name="encoding")
+        if self.encoding_type == "hashgrid":
+            self.encoding = HashGrid(self.n_levels, self.n_features_per_level,
+                                     self.log2_hashmap_size,
+                                     self.base_resolution,
+                                     self.per_level_scale, name="encoding")
+        else:
+            # gather-free TPU path (see encoding.VanillaFrequency docstring)
+            self.encoding = VanillaFrequency(self.n_frequencies)
         self.network = VanillaMLP(self.feature_dim, self.n_neurons,
                                   self.n_hidden_layers, sphere_init=True,
                                   sphere_init_radius=self.sphere_init_radius,
@@ -133,6 +141,15 @@ class VolumeSDF(nn.Module):
         sdf = out[..., 0]
         feature = out
         results = [sdf]
+        if with_grad and self.grad_type == "analytic" and not with_laplace:
+            # exact per-point gradient via one reverse pass (smooth frequency
+            # encoding); ~2x forward cost vs the 7x of finite differences
+            grad = jax.grad(
+                lambda p: jnp.sum(self.field(p, level_mask)[..., 0])
+            )(points_world)
+            results.append(grad)
+            results.append(feature)
+            return tuple(results)
         if with_grad:
             offsets = jnp.asarray(
                 [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],

@@ -40,7 +40,18 @@ class NeusConfig:
     background_color: str = "black"
     grid_prune: bool = True
     grid_prune_occ_thre: float = 0.001
+    use_occ_lookup: bool = True   # mask samples by the occupancy grid; off
+                                  # on TPU (1M-row gathers; alpha from the
+                                  # SDF already kills empty-space samples)
     variance_init: float = 0.3
+    # geometry field (reference: hashgrid+FD; TPU-fast: frequency+analytic —
+    # XLA TPU gathers make hashgrid lookups the bottleneck)
+    geometry_encoding: str = "hashgrid"
+    grad_type: str = "finite_difference"
+    n_frequencies: int = 8
+    geo_neurons: int = 64
+    geo_hidden_layers: int = 1
+    freq_masking_steps: int = 0
     # hashgrid / progressive schedule
     n_levels: int = 10
     start_level: int = 4
@@ -109,9 +120,11 @@ class NeusTrainer:
         self.cfg = config
         cfg = config
         self.geometry = VolumeSDF(
-            radius=cfg.radius, n_levels=cfg.n_levels,
-            base_resolution=cfg.base_resolution,
-            per_level_scale=cfg.per_level_scale)
+            radius=cfg.radius, encoding_type=cfg.geometry_encoding,
+            n_levels=cfg.n_levels, base_resolution=cfg.base_resolution,
+            per_level_scale=cfg.per_level_scale,
+            n_frequencies=cfg.n_frequencies, grad_type=cfg.grad_type,
+            n_neurons=cfg.geo_neurons, n_hidden_layers=cfg.geo_hidden_layers)
         self.texture = VolumeRadiance()
         self.variance = VarianceNetwork(init_val=cfg.variance_init)
         self.renderer = NeusRenderer(radius=cfg.radius,
@@ -167,6 +180,12 @@ class NeusTrainer:
         return schedule
 
     def _level_mask(self):
+        if self.cfg.geometry_encoding == "frequency":
+            from v3d_tpu.nerf.encoding import VanillaFrequency
+
+            return jnp.asarray(VanillaFrequency(
+                self.cfg.n_frequencies,
+                self.cfg.freq_masking_steps).mask(self.global_step))
         return jnp.asarray(progressive_level_mask(
             self.global_step, self.cfg.n_levels, 2, self.cfg.start_level,
             self.cfg.start_step, self.cfg.update_steps))
@@ -228,10 +247,11 @@ class NeusTrainer:
             def rgb_fn(feat, nrm):
                 return self.texture.apply(params["texture"], feat, nrm)
 
-            out = self.renderer(rays_o, rays_d, sdf_grad_feat, rgb_fn, inv_s,
-                                cos_anneal_ratio=cos_ratio,
-                                occupancy_binary=binary,
-                                background_color=bg, rng=rng_render)
+            out = self.renderer(
+                rays_o, rays_d, sdf_grad_feat, rgb_fn, inv_s,
+                cos_anneal_ratio=cos_ratio,
+                occupancy_binary=binary if cfg.use_occ_lookup else None,
+                background_color=bg, rng=rng_render)
 
             losses = {}
             # rgb (mse on valid rays, neus_videonvs.py:200-213)
