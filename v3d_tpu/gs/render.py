@@ -159,6 +159,13 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
     tile_ids = jnp.arange(n_tiles)
     depth_masked = jnp.where(proj.valid, proj.depth, jnp.inf)
 
+    # pack all per-gaussian attributes so every selection stage is a SINGLE
+    # row gather (TPU gathers cost ~100ns/row; 6 separate field gathers were
+    # the profile hotspot): [m2(2) | conic(3) | color(3) | op | depth | r]
+    packed = jnp.concatenate([
+        means2d, proj.conic, proj.color, proj.opacity[:, None],
+        proj.depth[:, None], proj.radius[:, None]], axis=1)        # (N, 11)
+
     gx_all = means2d[:, 0]
     gy_all = means2d[:, 1]
     r_all = proj.radius
@@ -183,13 +190,12 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         c_score = jnp.where(c_overlap, depth_masked[None], jnp.inf)
         c_neg, coarse_idx = jax.lax.top_k(-c_score, Kc)  # (n_coarse, Kc)
         coarse_ok = jnp.isfinite(c_neg)
-        # pre-gather per-gaussian data into coarse slabs
-        cg_m2 = means2d[coarse_idx]
-        cg_con = proj.conic[coarse_idx]
-        cg_col = proj.color[coarse_idx]
-        cg_op = jnp.where(coarse_ok, proj.opacity[coarse_idx], 0.0)
-        cg_dpt = jnp.where(coarse_ok, proj.depth[coarse_idx], jnp.inf)
-        cg_r = jnp.where(coarse_ok, proj.radius[coarse_idx], -1.0)
+        cg = packed[coarse_idx]                          # (n_coarse, Kc, 11)
+        # dead entries: opacity 0, depth inf (selection), radius -1 (overlap)
+        cg = jnp.where(
+            coarse_ok[..., None],
+            cg,
+            jnp.asarray([0, 0, 0, 0, 0, 0, 0, 0, 0, jnp.inf, -1.0])[None, None, :])
 
     # pixel coordinates within a tile (TILE*TILE, 2) as (x, y)
     py, px = jnp.mgrid[0:TILE, 0:TILE]
@@ -203,24 +209,18 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         y0 = ty * TILE
         if use_coarse:
             cid = (ids // n_tx) // cf * n_cx + (ids % n_tx) // cf  # (C,)
-            gx = cg_m2[cid, :, 0]
-            gy = cg_m2[cid, :, 1]
-            r = cg_r[cid]
-            dpt_src = cg_dpt[cid]
+            slab = cg[cid]                                # (C, Kc, 11)
+            gx = slab[..., 0]
+            gy = slab[..., 1]
+            r = slab[..., 10]
+            dpt_src = slab[..., 9]
             overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
                        (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
             score = jnp.where(overlap, dpt_src, jnp.inf)
             neg_depth, sub = jax.lax.top_k(-score, min(K, Kc))  # (C, K)
             sel_ok = jnp.isfinite(neg_depth)
-            m2 = jnp.take_along_axis(cg_m2[cid], sub[..., None], axis=1)
-            con = jnp.take_along_axis(cg_con[cid], sub[..., None], axis=1)
-            col = jnp.take_along_axis(cg_col[cid], sub[..., None], axis=1)
-            op = jnp.where(sel_ok,
-                           jnp.take_along_axis(cg_op[cid], sub, axis=1), 0.0)
-            dpt = jnp.take_along_axis(cg_dpt[cid], sub, axis=1)
-            dpt = jnp.where(sel_ok, dpt, 0.0)
+            sel = jnp.take_along_axis(slab, sub[..., None], axis=1)
         else:
-            # overlap test: gaussian bbox (3-sigma) vs tile rect
             gx = means2d[None, :, 0]
             gy = means2d[None, :, 1]
             r = proj.radius[None, :]
@@ -229,11 +229,12 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
             score = jnp.where(overlap, depth_masked[None, :], jnp.inf)
             neg_depth, idx = jax.lax.top_k(-score, K)      # (C, K) near->far
             sel_ok = jnp.isfinite(neg_depth)
-            m2 = means2d[idx]          # (C, K, 2)
-            con = proj.conic[idx]      # (C, K, 3)
-            col = proj.color[idx]      # (C, K, 3)
-            op = jnp.where(sel_ok, proj.opacity[idx], 0.0)
-            dpt = proj.depth[idx]
+            sel = packed[idx]                              # (C, K, 11)
+        m2 = sel[..., 0:2]
+        con = sel[..., 2:5]
+        col = sel[..., 5:8]
+        op = jnp.where(sel_ok, sel[..., 8], 0.0)
+        dpt = jnp.where(sel_ok, sel[..., 9], 0.0)
 
         # pixel centers of this tile chunk: (C, P, 2)
         pix = (tile_pix[None] + jnp.stack([x0, y0], axis=-1)[:, None, :])
