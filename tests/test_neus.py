@@ -222,3 +222,27 @@ def test_neus_training_frequency_smoke():
     losses = [trainer.train_iter()["loss"] for _ in range(40)]
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_ray_chunked_renderer_matches():
+    renderer = NeusRenderer(radius=1.0, num_samples=32)
+    chunked = NeusRenderer(radius=1.0, num_samples=32, ray_chunk=4)
+
+    def sdf_grad_feat(pts):
+        norm = jnp.sqrt(jnp.sum(pts**2, -1) + 1e-12)
+        return norm - 0.5, pts / norm[:, None], jnp.zeros(pts.shape[:-1] + (13,))
+
+    def rgb_fn(feat, nrm):
+        return jnp.abs(nrm)
+
+    rays_o = jnp.tile(jnp.asarray([[-2.0, 0, 0]]), (8, 1))
+    rays_d = jnp.concatenate([
+        jnp.tile(jnp.asarray([[1.0, 0, 0]]), (4, 1)),
+        jnp.tile(jnp.asarray([[1.0, 0.3, 0.1]])
+                 / np.linalg.norm([1, 0.3, 0.1]), (4, 1))])
+    a = renderer(rays_o, rays_d, sdf_grad_feat, rgb_fn, jnp.asarray(100.0))
+    b = chunked(rays_o, rays_d, sdf_grad_feat, rgb_fn, jnp.asarray(100.0))
+    np.testing.assert_allclose(np.asarray(a.comp_rgb), np.asarray(b.comp_rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.opacity), np.asarray(b.opacity),
+                               rtol=1e-5, atol=1e-6)

@@ -56,11 +56,12 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
                      lambda_normal=1.0 if normals is not None else 0.0,
                      # TPU: gather-free geometry (see nerf/encoding.py)
                      geometry_encoding="frequency" if on_tpu else "hashgrid",
-                     grad_type="analytic" if on_tpu else "finite_difference",
-                     geo_neurons=256 if on_tpu else 64,
+                     grad_type="finite_difference",
+                     geo_neurons=128 if on_tpu else 64,
                      geo_hidden_layers=4 if on_tpu else 1,
                      freq_masking_steps=max_steps // 2 if on_tpu else 0,
-                     use_occ_lookup=not on_tpu)
+                     use_occ_lookup=not on_tpu,
+                     ray_chunk=128 if on_tpu else 0)
     trainer = NeusTrainer(frames, fg, dirs, poses, normals=normals,
                           config=cfg, seed=seed)
     for i in range(max_steps):

@@ -76,6 +76,9 @@ class RenderResult(NamedTuple):
 class NeusRenderer:
     radius: float = 1.0
     num_samples: int = 1024
+    ray_chunk: int = 0   # >0: evaluate rays in lax.map chunks of this size
+                         # (videonvs.yaml ray_chunk; bounds activation peaks
+                         # of rays*samples*(1+6 FD) field evaluations)
 
     @property
     def step_size(self) -> float:
@@ -107,6 +110,24 @@ class NeusRenderer:
         """sdf_grad_feature_fn(points (N,3)) -> (sdf (N,), grad (N,3),
         feature (N,F)); rgb_fn(feature, normal) -> (N, 3)."""
         R = rays_o.shape[0]
+        if self.ray_chunk and R > self.ray_chunk and R % self.ray_chunk == 0:
+            n_chunks = R // self.ray_chunk
+            rngs = (jax.random.split(rng, n_chunks) if rng is not None
+                    else jnp.zeros((n_chunks, 2), jnp.uint32))
+
+            def one_chunk(args):
+                ro, rd, key = args
+                sub = dataclasses.replace(self, ray_chunk=0)
+                return sub(ro, rd, sdf_grad_feature_fn, rgb_fn, inv_s,
+                           cos_anneal_ratio, occupancy_binary,
+                           background_color,
+                           key if rng is not None else None)
+
+            out = jax.lax.map(one_chunk, (
+                rays_o.reshape(n_chunks, self.ray_chunk, 3),
+                rays_d.reshape(n_chunks, self.ray_chunk, 3),
+                rngs))
+            return RenderResult(*[x.reshape((R,) + x.shape[2:]) for x in out])
         S = self.num_samples
         positions, t_mid, mask = self.sample_points(rays_o, rays_d, rng)
         if occupancy_binary is not None:

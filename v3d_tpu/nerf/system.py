@@ -52,6 +52,7 @@ class NeusConfig:
     geo_neurons: int = 64
     geo_hidden_layers: int = 1
     freq_masking_steps: int = 0
+    ray_chunk: int = 0
     # hashgrid / progressive schedule
     n_levels: int = 10
     start_level: int = 4
@@ -128,7 +129,8 @@ class NeusTrainer:
         self.texture = VolumeRadiance()
         self.variance = VarianceNetwork(init_val=cfg.variance_init)
         self.renderer = NeusRenderer(radius=cfg.radius,
-                                     num_samples=cfg.num_samples_per_ray)
+                                     num_samples=cfg.num_samples_per_ray,
+                                     ray_chunk=cfg.ray_chunk)
         self.occ = OccupancyGrid(radius=cfg.radius,
                                  occ_threshold=cfg.grid_prune_occ_thre)
 
@@ -239,11 +241,16 @@ class NeusTrainer:
         def loss_fn(params):
             inv_s = jnp.clip(self.variance.apply(params["variance"]), 1e-6, 1e6)
 
+            # remat: field activations for rays*samples*(1+6 FD) points would
+            # otherwise be stored for backward (measured 22GB at the
+            # reference budget) — recompute instead
+            @jax.checkpoint
             def sdf_grad_feat(pts):
                 sdf, grad, feat = self.geometry.apply(
                     params["geometry"], pts, eps=fd_eps, level_mask=level_mask)
                 return sdf, grad, feat
 
+            @jax.checkpoint
             def rgb_fn(feat, nrm):
                 return self.texture.apply(params["texture"], feat, nrm)
 
