@@ -193,5 +193,9 @@ class VarianceNetwork(nn.Module):
 
     @nn.compact
     def __call__(self):
-        v = self.param("variance", lambda k: jnp.asarray(self.init_val))
+        # explicit dtype -> strong f32: a weak-typed scalar param flips to
+        # strong after the first optimizer update and retriggers a full
+        # recompile of the train step on every iteration
+        v = self.param("variance",
+                       lambda k: jnp.asarray(self.init_val, jnp.float32))
         return jnp.exp(10.0 * v)
