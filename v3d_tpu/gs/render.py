@@ -124,10 +124,12 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    max_per_tile: int = 512       # K: gaussians composited per fine tile
+    # defaults profiled on v5e at 512^2 / 100k gaussians: fwd 63ms bwd 50ms
+    # (vs 166/525 ms for flat K=512 selection)
+    max_per_tile: int = 256       # K: gaussians composited per fine tile
     tile_chunk: int = 32          # fine tiles processed per lax.map step
-    coarse_factor: int = 4        # coarse cell = coarse_factor^2 fine tiles
-    max_per_coarse: int = 4096    # Kc: gaussians preselected per coarse cell
+    coarse_factor: int = 8        # coarse cell = coarse_factor^2 fine tiles
+    max_per_coarse: int = 2048    # Kc: gaussians preselected per coarse cell
     force_coarse: bool = False    # exercise the coarse path even when N <= Kc
 
 

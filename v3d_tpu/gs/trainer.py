@@ -52,8 +52,10 @@ class GSTrainConfig:
     densify_grad_threshold: float = 0.0002
     min_opacity: float = 0.005
     white_background: bool = True
-    max_per_tile: int = 512
+    max_per_tile: int = 256
     tile_chunk: int = 32
+    coarse_factor: int = 8
+    max_per_coarse: int = 2048
     random_background: bool = False
 
 
@@ -141,7 +143,8 @@ class GSTrainer:
         proj = project_gaussians(g, cam)
         out = rasterize(
             proj, cam.height, cam.width, bg,
-            RasterizeConfig(self.cfg.max_per_tile, self.cfg.tile_chunk),
+            RasterizeConfig(self.cfg.max_per_tile, self.cfg.tile_chunk,
+                            self.cfg.coarse_factor, self.cfg.max_per_coarse),
             screen_offset=screen_offset)
         return out
 
