@@ -324,8 +324,9 @@ class NeusTrainer:
         cfg = self.cfg
         self.rng, rng_step, rng_occ = jax.random.split(self.rng, 3)
         level_mask = self._level_mask()
-        # occupancy grid update (jitted eval over cell centers)
-        if cfg.grid_prune:
+        # occupancy grid update (jitted eval over cell centers); pointless
+        # when the renderer doesn't consume the mask (TPU config)
+        if cfg.grid_prune and cfg.use_occ_lookup:
             self.occ.update(
                 self.global_step,
                 lambda pts: self._occ_eval_jit(self.params, pts, level_mask),
