@@ -112,3 +112,26 @@ def test_img2img_partial_denoise(tiny):
                           num_steps=2)
     assert out.shape == init.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_bf16_vs_f32_sampling_psnr():
+    """bf16 compute (TPU serving mode) must stay close to f32 on the same
+    weights — the scaled-down version of the >=40dB production bar."""
+    from v3d_tpu.engines.builder import build_tiny_engine, init_engine_params
+
+    e32 = build_tiny_engine(num_frames=4, num_steps=3, resolution=64)
+    p32 = init_engine_params(e32, jax.random.PRNGKey(0), 64, 64)
+    e16 = build_tiny_engine(num_frames=4, num_steps=3, resolution=64,
+                            dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(1)
+    image = jnp.zeros((1, 64, 64, 3))
+    clip_emb, cf = e32.encode_image(p32, image, rng, 0.02)
+    c, uc = e32.build_cond(clip_emb, cf, 1, 300, 0.02)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 4))
+    z32 = np.asarray(e32.sample_latents(p32, rng, c, uc, 64, 64, noise=noise))
+    z16 = np.asarray(e16.sample_latents(p32, rng, c, uc, 64, 64, noise=noise))
+    rng_range = np.abs(z32).max()
+    psnr = 20 * np.log10(rng_range / np.sqrt(np.mean((z32 - z16) ** 2) + 1e-12))
+    assert psnr > 25.0, f"bf16 deviates too much: {psnr:.1f} dB"
