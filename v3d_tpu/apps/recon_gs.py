@@ -48,8 +48,9 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
         if (i + 1) % test_every == 0 or i == 0:
             out = trainer.render_view(0)
             p = float(psnr(out.image, frames[0]))
+            alive = stats.get("num_alive", "-")
             print(f"iter {stats['iter']} loss {stats['loss']:.4f} "
-                  f"psnr {p:.2f} alive {stats['num_alive']}")
+                  f"psnr {p:.2f} alive {alive}")
     ply_path = os.path.join(output, "point_cloud.ply")
     save_ply(ply_path, trainer.gaussians_np())
     print(f"saved {ply_path}")

@@ -115,9 +115,13 @@ class NeusTrainer:
     def __init__(self, images: np.ndarray, fg_masks: np.ndarray,
                  directions: np.ndarray, c2ws: np.ndarray,
                  normals: Optional[np.ndarray] = None,
+                 origins: Optional[np.ndarray] = None,
                  config: NeusConfig = NeusConfig(), seed: int = 0):
         """images (N, H, W, 3) in [0,1]; fg_masks (N, H, W); directions
-        (H, W, 3) camera-space (shared intrinsics); c2ws (N, 4, 4) OpenGL."""
+        (H, W, 3) camera-space (shared intrinsics); c2ws (N, 4, 4) OpenGL.
+        ``origins`` (H, W, 3): per-pixel camera-space ray origins for
+        orthographic cameras (the Wonder3D ortho-neus system,
+        systems/neus_ortho.py; None = pinhole)."""
         self.cfg = config
         cfg = config
         self.geometry = VolumeSDF(
@@ -138,6 +142,8 @@ class NeusTrainer:
         self.fg_masks = jnp.asarray(fg_masks, jnp.float32)
         self.normals = None if normals is None else jnp.asarray(normals, jnp.float32)
         self.directions = jnp.asarray(directions, jnp.float32)
+        self.origins = (None if origins is None
+                        else jnp.asarray(origins, jnp.float32))
         self.c2ws = jnp.asarray(c2ws, jnp.float32)
         self.n_images, self.h, self.w = images.shape[:3]
 
@@ -222,7 +228,11 @@ class NeusTrainer:
         # d_world = R_c2w @ d_cam
         rays_d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs_cam)
         rays_d = rays_d / (jnp.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-12)
-        rays_o = c2w[:, :3, 3]
+        if self.origins is not None:  # orthographic (get_ortho_rays)
+            o_cam = self.origins[y, x]
+            rays_o = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], o_cam) + c2w[:, :3, 3]
+        else:
+            rays_o = c2w[:, :3, 3]
         rgb = self.images[idx, y, x]
         fg = self.fg_masks[idx, y, x]
         normal = (self.normals[idx, y, x] if self.normals is not None
