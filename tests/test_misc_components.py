@@ -174,3 +174,60 @@ def test_safety_head_real_weights():
     scores = _run_head(head, feats)
     assert scores.shape == (3,)
     assert np.all((scores >= 0) & (scores <= 1))
+
+
+def test_conv1x1_equals_linear():
+    """scripts/tests/attention.py test01: a 1x1 conv is a linear layer."""
+    import flax.linen as nn
+
+    conv = nn.Conv(8, (1, 1))
+    x = np.random.RandomState(0).randn(2, 4, 4, 6).astype(np.float32)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_conv = conv.apply(params, jnp.asarray(x))
+    w = params["params"]["kernel"][0, 0]  # (in, out)
+    b = params["params"]["bias"]
+    out_lin = jnp.asarray(x) @ w + b
+    np.testing.assert_allclose(np.asarray(out_conv), np.asarray(out_lin),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_image_diffusion_engine():
+    from v3d_tpu.diffusion.denoise import Denoiser
+    from v3d_tpu.diffusion.discretize import EDMDiscretization
+    from v3d_tpu.diffusion.guidance import VanillaCFG
+    from v3d_tpu.diffusion.sampling import EulerEDMSampler
+    from v3d_tpu.diffusion.scaling import VScalingWithEDMcNoise
+    from v3d_tpu.engines.image_diffusion import ImageDiffusionEngine
+    from v3d_tpu.models.unet2d import UNetModel
+
+    unet = UNetModel(in_channels=4, model_channels=32, out_channels=4,
+                     num_res_blocks=1, attention_resolutions=(1,),
+                     channel_mult=(1, 2), num_head_channels=16,
+                     context_dim=32)
+    params = {"unet": unet.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 4)),
+                                jnp.ones((2,)), jnp.zeros((2, 3, 32)))}
+    engine = ImageDiffusionEngine(
+        unet=unet, denoiser=Denoiser(scaling=VScalingWithEDMcNoise()),
+        sampler=EulerEDMSampler(discretization=EDMDiscretization(),
+                                num_steps=3, guider=VanillaCFG(scale=2.0)))
+    c = {"crossattn": jnp.ones((1, 3, 32))}
+    uc = {"crossattn": jnp.zeros((1, 3, 32))}
+    z = engine.sample(params, jax.random.PRNGKey(1), c, uc, batch=1,
+                      height=64, width=64)
+    assert z.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(z)).all()
+    z2 = engine.img2img(params, jax.random.PRNGKey(2), z, c, uc, strength=0.5)
+    assert z2.shape == z.shape
+
+
+def test_export_blender_cameras(tmp_path):
+    import json
+
+    from v3d_tpu.apps.render_cli import export_blender_cameras
+
+    path = export_blender_cameras(str(tmp_path), num_frames=4)
+    with open(path) as f:
+        meta = json.load(f)
+    assert len(meta["frames"]) == 4
+    tm = np.asarray(meta["frames"][0]["transform_matrix"])
+    assert tm.shape == (4, 4)

@@ -67,3 +67,28 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def export_blender_cameras(output: str, num_frames: int = 18,
+                           radius: float = 2.0, elevation: float = 0.0,
+                           fov_deg: float = 60.0):
+    """recon/convert_to_blender.py equivalent: write a transforms.json with
+    the orbit cameras (OpenGL convention) for external tooling."""
+    import json
+
+    import numpy as np
+
+    from v3d_tpu.data.cameras import get_uniform_poses
+
+    poses = get_uniform_poses(num_frames, radius, elevation, opengl=True)
+    meta = {
+        "camera_angle_x": float(np.deg2rad(fov_deg)),
+        "frames": [{"file_path": f"r_{i}",
+                    "transform_matrix": poses[i].tolist()}
+                   for i in range(num_frames)],
+    }
+    os.makedirs(output, exist_ok=True)
+    path = os.path.join(output, "transforms.json")
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
