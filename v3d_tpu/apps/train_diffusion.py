@@ -71,7 +71,6 @@ def main():
     def batches():
         rng = jax.random.PRNGKey(1)
         for batch in ds.iter_batches(args.batch_size):
-            nonlocal rng
             rng, sub = jax.random.split(rng)
             if "latents" not in batch:
                 frames = jnp.asarray(batch["frames"])
