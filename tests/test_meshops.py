@@ -122,3 +122,32 @@ def test_texture_refine_converges():
     out = refiner.export()
     green = out.vertex_colors[:, 1].mean()
     assert green > out.vertex_colors[:, 0].mean()
+
+
+def test_native_marching_tets_matches_numpy():
+    from v3d_tpu.meshops.mcubes import marching_tets
+    from v3d_tpu.native import marching_tets_native
+
+    n = 32
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    sdf = _sphere_sdf(grid.reshape(-1, 3)).reshape(n, n, n).astype(np.float32)
+    out = marching_tets_native(sdf)
+    if out is None:
+        pytest.skip("native toolchain unavailable")
+    v_np, f_np = marching_tets(sdf, spacing=2.0 / (n - 1), use_native=False)
+    v_cc, f_cc = marching_tets(sdf, spacing=2.0 / (n - 1), use_native=True)
+    # same surface: radius statistics agree, similar counts, valid faces
+    for v, f in ((v_np, f_np), (v_cc, f_cc)):
+        r = np.linalg.norm(v, axis=1)
+        assert abs(r.mean() - 0.6) < 0.02
+        assert f.max() < len(v)
+    assert abs(len(f_cc) - len(f_np)) < 0.1 * len(f_np) + 10
+    # native is watertight-welded: every edge appears exactly twice
+    edges = {}
+    for tri in f_cc:
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+            k = (min(a, b), max(a, b))
+            edges[k] = edges.get(k, 0) + 1
+    counts = np.array(list(edges.values()))
+    assert (counts == 2).mean() > 0.99

@@ -32,12 +32,24 @@ _CORNERS = np.array([
 
 def marching_tets(sdf: np.ndarray, level: float = 0.0,
                   origin: Tuple[float, float, float] = (-1, -1, -1),
-                  spacing: Optional[float] = None):
+                  spacing: Optional[float] = None, use_native: bool = True):
     """sdf: (N, N, N) -> (vertices (V,3), faces (F,3)).  Vertices are placed
-    by linear interpolation along tet edges crossing ``level``."""
+    by linear interpolation along tet edges crossing ``level``.
+
+    Uses the C++ core (v3d_tpu/native/marching_tets.cc) when buildable —
+    the vectorized numpy path materializes (cells x 8) tensors, which is
+    gigabytes at the reference's 384^3 export resolution."""
     n = sdf.shape[0]
     if spacing is None:
         spacing = 2.0 / (n - 1)
+    if use_native:
+        from v3d_tpu.native import marching_tets_native
+
+        out = marching_tets_native(np.asarray(sdf, np.float32), level)
+        if out is not None:
+            verts, faces = out
+            verts = verts * spacing + np.asarray(origin, np.float32)
+            return verts.astype(np.float32), faces.astype(np.int32)
     # cube corner values for all cells: (n-1)^3 x 8
     cells = np.stack(np.meshgrid(*([np.arange(n - 1)] * 3), indexing="ij"),
                      axis=-1).reshape(-1, 3)
