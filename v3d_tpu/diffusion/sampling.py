@@ -16,7 +16,7 @@ samplers; deterministic samplers ignore ``rng``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ nvdiffrast's rasterize+interpolate without antialiasing).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
