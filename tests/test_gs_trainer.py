@@ -90,3 +90,29 @@ def test_ply_roundtrip(tmp_path):
     keep[7] = False
     for k in ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity"):
         np.testing.assert_allclose(g2[k], g[k][keep], rtol=1e-6)
+
+
+def test_packed_ply(tmp_path):
+    from v3d_tpu.gs.ply import save_packed_ply
+
+    rs = np.random.RandomState(0)
+    g = {
+        "xyz": rs.randn(5, 3).astype(np.float32),
+        "f_dc": rs.randn(5, 1, 3).astype(np.float32),
+        "f_rest": np.zeros((5, 0, 3), np.float32),
+        "scaling": rs.randn(5, 3).astype(np.float32),
+        "rotation": rs.randn(5, 4).astype(np.float32),
+        "opacity": rs.randn(5, 1).astype(np.float32),
+        "alive": np.ones(5, bool),
+    }
+    path = str(tmp_path / "packed.ply")
+    save_packed_ply(path, g)
+    data = open(path, "rb").read()
+    assert b"property float opacity" in data
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    body = np.frombuffer(data[header_end:], np.float32).reshape(5, 14)
+    np.testing.assert_allclose(body[:, :3], g["xyz"], rtol=1e-6)
+    # activated opacity in [0,1], normalized quats
+    assert (body[:, 3] >= 0).all() and (body[:, 3] <= 1).all()
+    np.testing.assert_allclose(np.linalg.norm(body[:, 7:11], axis=1), 1.0,
+                               rtol=1e-5)
