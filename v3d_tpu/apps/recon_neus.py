@@ -27,6 +27,7 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
                 train_num_rays: int = 256, fov: float = 60.0,
                 cam_radius: float = 2.0, elevation: float = 0.0,
                 mc_resolution: int = 384, normals_path: str = None,
+                dpt_weights: str = None, silhouette_normals: bool = False,
                 seed: int = 0, log_every: int = 100):
     import jax
 
@@ -43,10 +44,25 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
     frames = read_video(video_path).astype(np.float32) / 255.0
     t, h, w = frames.shape[:3]
     fg = foreground_masks(frames)
-    normals = np.load(normals_path) if normals_path else None
     # v3d dataset conventions (mesh_recon/datasets/v3d.py:141-154):
     # OpenGL poses on the fixed orbit, focal from the 60 deg FOV
     poses = get_uniform_poses(t, cam_radius, elevation, opengl=True)
+    if normals_path:
+        normals = np.load(normals_path)
+    elif dpt_weights or os.environ.get("V3D_TPU_DPT_WEIGHTS"):
+        # the reference's default: DPT Omnidata normals -> world frame
+        # (mesh_recon/datasets/v3d.py:173-205)
+        from v3d_tpu.nerf.normals import (
+            dpt_world_normals,
+            load_dpt_normal_predictor,
+        )
+        predict = load_dpt_normal_predictor(dpt_weights)
+        normals = dpt_world_normals(predict(frames), fg, poses)
+    elif silhouette_normals:
+        from v3d_tpu.nerf.normals import normals_from_mask_distance
+        normals = normals_from_mask_distance(fg, poses)
+    else:
+        normals = None
     focal = fov2focal(np.deg2rad(fov), w)
     dirs = get_ray_directions(h, w, focal)
 
@@ -118,9 +134,17 @@ def main():
     p.add_argument("--mc-resolution", type=int, default=384)
     p.add_argument("--normals", default=None,
                    help="optional (T,H,W,3) world-space normals .npy")
+    p.add_argument("--dpt-weights", default=None,
+                   help="omnidata DPT ckpt/.npz for normal supervision "
+                        "(default: $V3D_TPU_DPT_WEIGHTS)")
+    p.add_argument("--silhouette-normals", action="store_true",
+                   help="opt-in weak fallback normals from the silhouette "
+                        "distance transform (no DPT weights needed)")
     args = p.parse_args()
     reconstruct(args.video, args.output, args.max_steps,
-                mc_resolution=args.mc_resolution, normals_path=args.normals)
+                mc_resolution=args.mc_resolution, normals_path=args.normals,
+                dpt_weights=args.dpt_weights,
+                silhouette_normals=args.silhouette_normals)
 
 
 if __name__ == "__main__":

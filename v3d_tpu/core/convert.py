@@ -425,3 +425,113 @@ def expand_unet_input_channels(unet_params: Dict, new_in_channels: int) -> Dict:
                                        kernel.shape[3]), np.float32)
     tree["in_0_0"]["kernel"] = np.concatenate([np.asarray(kernel), pad], axis=2)
     return unet_params
+
+
+# ---------------------------------------------------------------------------
+# DPT (Omnidata normal/depth) converter — mesh_recon/utils/dpt.py:1009-1041
+# loads omnidata_dpt_normal_v2.ckpt into DPTDepthModel(vitb_rn50_384);
+# this maps that torch state dict onto models.dpt.DPT's param tree.
+# ---------------------------------------------------------------------------
+
+def _dpt_gn(prefix: Tuple[str, ...], param: str):
+    return prefix + ("GroupNorm_0", {"weight": "scale", "bias": "bias"}[param])
+
+
+def convert_dpt(state_dict: Dict) -> Dict:
+    """torch DPTDepthModel state dict -> flax DPT params (models/dpt.py).
+
+    Accepts either the raw checkpoint dict or one with the Lightning
+    'model.' prefix already stripped (the reference strips k[6:],
+    dpt.py:1052-1058).
+    """
+    tree: Dict = {}
+    for key, t in state_dict.items():
+        if key.startswith("model."):
+            key = key[6:]
+        parts = key.split(".")
+        if key.startswith("pretrained.model."):
+            rest = parts[2:]
+            pre = ("pretrained",)
+            if rest[0] in ("cls_token", "pos_embed"):
+                _set(tree, pre + (rest[0],), t2j(t)); continue
+            if rest[0] == "norm":  # final ViT LN: hooks fire before it
+                continue
+            if rest[0] == "patch_embed":
+                if rest[1] == "proj":
+                    path, tr = _map_conv("patch_proj", rest[2])
+                    _set(tree, pre + path, tr(t)); continue
+                # backbone resnet
+                bb = pre + ("backbone",)
+                if rest[2] == "stem":
+                    if rest[3] == "conv":
+                        _set(tree, bb + ("stem_conv", "kernel"), _conv2_w(t))
+                    else:
+                        _set(tree, _dpt_gn(bb + ("stem_norm",), rest[4]), t2j(t))
+                    continue
+                if rest[2] == "stages":
+                    s, b = rest[3], rest[5]
+                    blk = bb + (f"stage{s}_block{b}",)
+                    name = rest[6]
+                    if name.startswith("conv"):
+                        _set(tree, blk + (name, "kernel"), _conv2_w(t))
+                    elif name.startswith("norm"):
+                        _set(tree, _dpt_gn(blk + (name,), rest[7]), t2j(t))
+                    elif name == "downsample":
+                        if rest[7] == "conv":
+                            _set(tree, blk + ("down_conv", "kernel"), _conv2_w(t))
+                        else:
+                            _set(tree, _dpt_gn(blk + ("down_norm",), rest[8]),
+                                 t2j(t))
+                    else:
+                        raise KeyError(key)
+                    continue
+                raise KeyError(key)
+            if rest[0] == "blocks":
+                i, name = rest[1], rest[2]
+                blk = pre + (f"vit_block{i}",)
+                if name in ("norm1", "norm2"):
+                    _set(tree, blk + (name,
+                         {"weight": "scale", "bias": "bias"}[rest[3]]), t2j(t))
+                elif name == "attn":
+                    sub = {"qkv": "qkv", "proj": "attn_proj"}[rest[3]]
+                    path, tr = _map_linear(sub, rest[4])
+                    _set(tree, blk + path, tr(t))
+                elif name == "mlp":
+                    path, tr = _map_linear(rest[3], rest[4])
+                    _set(tree, blk + path, tr(t))
+                else:
+                    raise KeyError(key)
+                continue
+            raise KeyError(key)
+        if key.startswith("pretrained.act_postprocess"):
+            n = parts[1][-1]  # 3 or 4
+            if n not in ("3", "4"):
+                raise KeyError(key)
+            if parts[2] == "0":  # ProjectReadout .project.0 Linear
+                path, tr = _map_linear(f"readout{n}_proj", parts[5])
+            elif parts[2] == "3":  # 1x1 conv
+                path, tr = _map_conv(f"post{n}_conv", parts[3])
+            elif parts[2] == "4":  # 3x3 stride-2 conv (postprocess4 only)
+                path, tr = _map_conv("post4_down", parts[3])
+            else:
+                raise KeyError(key)
+            _set(tree, ("pretrained",) + path, tr(t)); continue
+        if key.startswith("scratch.layer") and key.endswith("_rn.weight"):
+            _set(tree, (parts[1], "kernel"), _conv2_w(t)); continue
+        if key.startswith("scratch.refinenet"):
+            rf = (parts[1],)
+            if parts[2] == "out_conv":
+                path, tr = _map_conv("out_conv", parts[3])
+            elif parts[2].startswith("resConfUnit"):
+                rcu = "rcu" + parts[2][-1]
+                path, tr = _map_conv(parts[3], parts[4])
+                path = (rcu,) + path
+            else:
+                raise KeyError(key)
+            _set(tree, rf + path, tr(t)); continue
+        if key.startswith("scratch.output_conv."):
+            idx = {"0": "head_conv1", "2": "head_conv2", "4": "head_conv3"}[parts[2]]
+            path, tr = _map_conv(idx, parts[3])
+            _set(tree, path, tr(t)); continue
+        raise KeyError(f"unrecognized DPT key: {key}")
+    return {"params": tree}
