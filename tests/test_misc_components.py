@@ -134,15 +134,28 @@ def test_lpips_math():
 
 
 def test_safety_filter_passthrough_and_watermark():
-    from v3d_tpu.utils.safety import DeepFloydDataFiltering, embed_watermark
+    from v3d_tpu.utils.safety import (
+        WATERMARK_BITS,
+        DeepFloydDataFiltering,
+        embed_watermark,
+        extract_watermark,
+    )
 
     filt = DeepFloydDataFiltering()
     imgs = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
     out = filt(imgs)
     np.testing.assert_array_equal(out, imgs)
+
+    # dwtDct round trip (imwatermark EmbedMaxDct semantics), surviving the
+    # uint8 quantization of an image save
+    imgs = np.random.RandomState(1).rand(2, 512, 512, 3).astype(np.float32)
     wm = embed_watermark(imgs)
     assert wm.shape == imgs.shape
-    assert 0 < np.abs(wm - imgs).max() <= 1.01 / 255
+    wm8 = np.round(wm * 255).astype(np.uint8).astype(np.float32) / 255.0
+    bits = extract_watermark(wm8)
+    assert np.array_equal(bits.astype(int), np.array(WATERMARK_BITS))
+    assert not np.array_equal(extract_watermark(imgs).astype(int),
+                              np.array(WATERMARK_BITS))
 
 
 def test_unet2d_runs():

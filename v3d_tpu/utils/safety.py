@@ -102,16 +102,117 @@ def _box(im, k):
     return out
 
 
-def embed_watermark(images: np.ndarray, key: int = 0b101100111110110010010000011110111011000110011110) -> np.ndarray:
-    """Invisible watermark (sgm/inference/helpers.py:16-60 WatermarkEmbedder).
+# The fixed 48-bit message of sgm/inference/helpers.py:53-57 (MSB first,
+# matching bin(WATERMARK_MESSAGE)[2:]).
+WATERMARK_MESSAGE = 0b101100111110110010010000011110111011000110011110
+WATERMARK_BITS = [int(b) for b in bin(WATERMARK_MESSAGE)[2:]]
 
-    The reference uses imwatermark's dwtDct; that package is absent here, so
-    this applies a low-amplitude spatial-dither watermark keyed by the same
-    48-bit constant — honest about the deviation, keeps the API and intent
-    (mark generated frames) in place."""
-    bits = np.array([(key >> i) & 1 for i in range(48)], np.float32)
-    h, w = images.shape[1:3]
-    yy, xx = np.mgrid[0:h, 0:w]
-    pattern = bits[(yy * 7 + xx * 13) % 48].astype(np.float32)
-    delta = (pattern - 0.5) * (1.0 / 255.0)
-    return np.clip(images + delta[None, :, :, None], 0.0, 1.0)
+# cv2's documented BGR<->YUV (PAL) constants — what imwatermark runs through.
+_YUV_FWD = np.array([  # rows: Y,U,V; cols: B,G,R
+    [0.114, 0.587, 0.299],
+    [0.492 * (1 - 0.114), 0.492 * -0.587, 0.492 * -0.299],
+    [0.877 * -0.114, 0.877 * -0.587, 0.877 * (1 - 0.299)],
+], np.float64)
+
+
+def _haar_dwt2(x: np.ndarray):
+    """pywt.dwt2(x, 'haar') for even-sized x: cA/cH/cV/cD at half res."""
+    a, b = x[0::2, 0::2], x[0::2, 1::2]
+    c, d = x[1::2, 0::2], x[1::2, 1::2]
+    return ((a + b + c + d) / 2, (a + b - c - d) / 2,
+            (a - b + c - d) / 2, (a - b - c + d) / 2)
+
+
+def _haar_idwt2(ca, ch, cv, cd):
+    h2, w2 = ca.shape
+    out = np.empty((h2 * 2, w2 * 2), np.float64)
+    out[0::2, 0::2] = (ca + ch + cv + cd) / 2
+    out[0::2, 1::2] = (ca + ch - cv - cd) / 2
+    out[1::2, 0::2] = (ca - ch + cv - cd) / 2
+    out[1::2, 1::2] = (ca - ch - cv + cd) / 2
+    return out
+
+
+def _ll_blocks(channel: np.ndarray, block: int = 4):
+    """DWT LL plane cut into (N, block*block) flat blocks + reassembly info."""
+    ca, ch, cv, cd = _haar_dwt2(channel)
+    h2, w2 = ca.shape
+    nr, nc = h2 // block, w2 // block
+    blocks = (ca[:nr * block, :nc * block]
+              .reshape(nr, block, nc, block).transpose(0, 2, 1, 3)
+              .reshape(nr * nc, block * block))
+    return blocks, (ca, ch, cv, cd), (nr, nc, block)
+
+
+def _put_blocks(blocks, planes, geom):
+    ca, ch, cv, cd = planes
+    nr, nc, block = geom
+    ca = ca.copy()
+    ca[:nr * block, :nc * block] = (
+        blocks.reshape(nr, nc, block, block).transpose(0, 2, 1, 3)
+        .reshape(nr * block, nc * block))
+    return _haar_idwt2(ca, ch, cv, cd)
+
+
+def _max_nondc_pos(blocks: np.ndarray) -> np.ndarray:
+    """imwatermark EmbedMaxDct: per block, index of the max-|coef| skipping
+    the DC (flat index 0)."""
+    return np.argmax(np.abs(blocks[:, 1:]), axis=1) + 1
+
+
+def embed_watermark(images: np.ndarray, bits=None, scale: float = 36.0) -> np.ndarray:
+    """dwtDct-compatible invisible watermark
+    (sgm/inference/helpers.py:16-60 WatermarkEmbedder -> imwatermark
+    'dwtDct' = EmbedMaxDct, scales [0,36,0], block 4).
+
+    images: (N,H,W,3) RGB in [0,1].  Embeds the 48-bit WATERMARK_BITS into
+    the U chroma channel's haar-LL plane: each 4x4 block's strongest non-DC
+    coefficient is quantized to (|v|//s + 0.25 + 0.5*bit)*s — decodable by
+    the standard imwatermark decoder (and by extract_watermark below).
+    """
+    bits = np.asarray(WATERMARK_BITS if bits is None else bits, np.float64)
+    out = np.empty_like(images)
+    for n in range(images.shape[0]):
+        rgb = np.asarray(images[n], np.float64) * 255.0
+        h, w = rgb.shape[:2]
+        hh, ww = h // 4 * 4, w // 4 * 4
+        bgr = rgb[..., ::-1]
+        yuv = bgr @ _YUV_FWD.T
+        yuv[..., 1:] += 128.0
+        u = yuv[:hh, :ww, 1]
+        blocks, planes, geom = _ll_blocks(u)
+        pos = _max_nondc_pos(blocks)
+        idx = np.arange(blocks.shape[0])
+        val = blocks[idx, pos]
+        bit = bits[idx % len(bits)]
+        q = (np.abs(val) // scale + 0.25 + 0.5 * bit) * scale
+        blocks[idx, pos] = np.where(val >= 0, q, -q)
+        yuv[:hh, :ww, 1] = _put_blocks(blocks, planes, geom)
+        yuv[..., 1:] -= 128.0
+        bgr = yuv @ np.linalg.inv(_YUV_FWD).T
+        out[n] = np.clip(bgr[..., ::-1] / 255.0, 0.0, 1.0)
+    return out
+
+
+def extract_watermark(images: np.ndarray, num_bits: int = 48,
+                      scale: float = 36.0) -> np.ndarray:
+    """imwatermark WatermarkDecoder('bits') for the dwtDct method: majority
+    vote of (|v| mod s) > s/2 over each bit's blocks.  images: (N,H,W,3)
+    RGB in [0,1]; returns (num_bits,) 0/1."""
+    votes = np.zeros(num_bits)
+    counts = np.zeros(num_bits)
+    for n in range(images.shape[0]):
+        rgb = np.asarray(images[n], np.float64) * 255.0
+        h, w = rgb.shape[:2]
+        hh, ww = h // 4 * 4, w // 4 * 4
+        bgr = rgb[..., ::-1]
+        yuv = bgr @ _YUV_FWD.T
+        yuv[..., 1:] += 128.0
+        blocks, _, _ = _ll_blocks(yuv[:hh, :ww, 1])
+        pos = _max_nondc_pos(blocks)
+        idx = np.arange(blocks.shape[0])
+        val = np.abs(blocks[idx, pos])
+        score = (val % scale) > 0.5 * scale
+        np.add.at(votes, idx % num_bits, score)
+        np.add.at(counts, idx % num_bits, 1.0)
+    return (votes / np.maximum(counts, 1)) > 0.5
