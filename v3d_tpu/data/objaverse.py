@@ -67,12 +67,23 @@ def assemble_item(frames_or_latents: np.ndarray, cfg: OrbitItemConfig,
 
 
 # fields flattened (b, t, ...) -> (b*t, ...) by the video collate
+# (FLATTEN_FIELDS + frames/latents handling, objaverse.py:163-186)
 _FRAME_FIELDS = ("frames", "latents", "fps_id", "motion_bucket_id",
-                 "cond_aug", "image_only_indicator")
+                 "cond_aug", "image_only_indicator", "elevation")
+
+
+def _collate_default(vals):
+    if isinstance(vals[0], dict):
+        return {k: _collate_default([v[k] for v in vals]) for k in vals[0]}
+    if isinstance(vals[0], str):
+        return list(vals)
+    return np.stack(vals)
 
 
 def video_collate(items: Sequence[Dict]) -> Dict:
-    """objaverse.py:166-186 video_collate_fn."""
+    """objaverse.py:166-186 video_collate_fn: frame-level fields flatten
+    (b, t, ...) -> (b*t, ...); per-video fields stack; nested dicts
+    (pixelnerf_input) stack recursively with their 'rgb' flattened."""
     out: Dict = {}
     for key in items[0]:
         vals = [it[key] for it in items]
@@ -82,10 +93,13 @@ def video_collate(items: Sequence[Dict]) -> Dict:
             stacked = np.stack(vals)                     # (b, t, ...)
             out[key] = stacked.reshape((-1,) + stacked.shape[2:])
         else:
-            out[key] = np.stack(vals)                    # (b, ...)
+            out[key] = _collate_default(vals)
     if "image_only_indicator" in out:
         t = out["num_video_frames"]
         out["image_only_indicator"] = out["image_only_indicator"].reshape(-1, t)
+    if "pixelnerf_input" in out:
+        rgb = out["pixelnerf_input"]["rgb"]              # (b, t, ...)
+        out["pixelnerf_input"]["rgb"] = rgb.reshape((-1,) + rgb.shape[2:])
     return out
 
 

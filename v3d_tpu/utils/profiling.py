@@ -42,26 +42,32 @@ class StepTimer:
 
 
 def benchmark_fn(fn: Callable, *args, iters: int = 10,
-                 warmup: int = 1) -> Dict[str, float]:
-    """Time a jitted function with proper device sync (host fetch of one
-    element — block_until_ready alone can under-report on tunneled
-    backends)."""
-    for _ in range(warmup):
+                 warmup: int = 1, repeats: int = 3) -> Dict[str, float]:
+    """Time a jitted function with proper device sync.
+
+    Sync is a SCALAR host fetch (never the whole output — fetching a large
+    result over the tunneled backend transfers it at ~110MB/s and dominates
+    the timing; see CLAUDE.md).  ``iters`` calls are enqueued between syncs
+    so the tunnel round-trip amortizes; the per-call time is the per-repeat
+    total / iters, and min/mean/std are over ``repeats`` repeats."""
+    for _ in range(max(warmup, 1)):
         out = fn(*args)
     _sync(out)
     times = []
-    for _ in range(iters):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(iters):
+            out = fn(*args)
         _sync(out)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / iters)
     return {"mean_s": float(np.mean(times)), "min_s": float(np.min(times)),
             "std_s": float(np.std(times))}
 
 
 def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+    # reduce on device, fetch one scalar
+    np.asarray(jax.numpy.ravel(leaf)[0])
 
 
 def nan_guard(name: str, tree) -> bool:
