@@ -5,8 +5,17 @@ TPU design mirrors the 3DGS tile rasterizer: 16x16 pixel tiles each gather a
 fixed top-K slab of depth-sorted candidate triangles (screen-bbox overlap
 test), then evaluate edge functions + barycentrics per pixel and z-select the
 nearest covering triangle.  Static shapes, differentiable w.r.t. vertex
-attributes through the barycentric interpolation (hard visibility like
-nvdiffrast's rasterize+interpolate without antialiasing).
+attributes through the barycentric interpolation.
+
+Antialiased edge gradients (dr.antialias analog, used on alpha AND color in
+mesh_recon/refine.py:115-168): each candidate triangle contributes a soft
+coverage clamp(d + 1/2, 0, 1), where d is the signed screen-space distance
+(pixels) from the pixel center to the triangle boundary — positive inside.
+``alpha`` = clip(sum over candidates) so interior shared edges sum to 1
+(no seams) while silhouette pixels get partial coverage that is
+DIFFERENTIABLE W.R.T. VERTEX POSITIONS; uncovered pixels within half a
+pixel of a silhouette take the nearest triangle's clamped-barycentric
+attributes so color also feathers across the edge like dr.antialias.
 """
 
 from __future__ import annotations
@@ -23,9 +32,10 @@ TILE = 16
 
 class RasterOut(NamedTuple):
     attr: jnp.ndarray    # (H, W, C) interpolated attributes
-    mask: jnp.ndarray    # (H, W) coverage
+    mask: jnp.ndarray    # (H, W) hard coverage
     depth: jnp.ndarray   # (H, W)
     bary: jnp.ndarray    # (H, W, 3)
+    alpha: jnp.ndarray   # (H, W) antialiased coverage (vertex-position grads)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,19 +121,54 @@ class MeshRasterizer:
             ], axis=-1)
             zbest = jnp.take_along_axis(z, best[..., None], -1)[..., 0]
             zbest = jnp.where(covered, zbest, 0.0)
+
+            # ---- antialiased coverage (dr.antialias analog) ----
+            # signed pixel distance to the triangle boundary: b_i scaled by
+            # |area| / edge_length turns barycentric margins into pixels
+            absarea = jnp.abs(area)
+            winding = jnp.sign(jnp.where(area == 0, 1.0, area))
+            len0 = jnp.sqrt((X2 - X1) ** 2 + (Y2 - Y1) ** 2) + 1e-9
+            len1 = jnp.sqrt((X0 - X2) ** 2 + (Y0 - Y2) ** 2) + 1e-9
+            len2 = jnp.sqrt((X1 - X0) ** 2 + (Y1 - Y0) ** 2) + 1e-9
+            d = jnp.minimum(
+                jnp.minimum(w0 * winding / len0, w1 * winding / len1),
+                w2 * winding / len2)                           # (C, P, K)
+            valid_tri = ok[:, None, :] & (jnp.abs(area) > 1e-9)
+            alpha_k = jnp.where(valid_tri,
+                                jnp.clip(d + 0.5, 0.0, 1.0), 0.0)
+            alpha = jnp.minimum(jnp.sum(alpha_k, axis=-1), 1.0)    # (C, P)
+
+            # nearest-triangle attributes for soft (uncovered) edge pixels:
+            # clamped barycentrics of the candidate with max soft coverage
+            ksoft = jnp.argmax(alpha_k, axis=-1)                   # (C, P)
+            bsoft = jnp.stack([
+                jnp.take_along_axis(b0, ksoft[..., None], -1)[..., 0],
+                jnp.take_along_axis(b1, ksoft[..., None], -1)[..., 0],
+                jnp.take_along_axis(b2, ksoft[..., None], -1)[..., 0],
+            ], axis=-1)
+            bsoft = jnp.clip(bsoft, 0.0, 1.0)
+            bsoft = bsoft / jnp.maximum(bsoft.sum(-1, keepdims=True), 1e-9)
+
             A0 = jnp.take_along_axis(a0[idx], best[..., None], axis=1)
             A1 = jnp.take_along_axis(a1[idx], best[..., None], axis=1)
             A2 = jnp.take_along_axis(a2[idx], best[..., None], axis=1)
             attr = (bb[..., 0:1] * A0 + bb[..., 1:2] * A1 + bb[..., 2:3] * A2)
-            attr = jnp.where(covered[..., None], attr, 0.0)
-            return attr, covered, zbest, jnp.where(covered[..., None], bb, 0.0)
+            S0 = jnp.take_along_axis(a0[idx], ksoft[..., None], axis=1)
+            S1 = jnp.take_along_axis(a1[idx], ksoft[..., None], axis=1)
+            S2 = jnp.take_along_axis(a2[idx], ksoft[..., None], axis=1)
+            attr_soft = (bsoft[..., 0:1] * S0 + bsoft[..., 1:2] * S1
+                         + bsoft[..., 2:3] * S2)
+            attr = jnp.where(covered[..., None], attr,
+                             jnp.where(alpha[..., None] > 0, attr_soft, 0.0))
+            return (attr, covered, zbest,
+                    jnp.where(covered[..., None], bb, 0.0), alpha)
 
         render_tiles = jax.checkpoint(render_tiles)
         C = self.tile_chunk
         ids = jnp.arange(n_tiles)
         pad = (-n_tiles) % C
         ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)]).reshape(-1, C)
-        attr, covered, z, bary = jax.lax.map(render_tiles, ids)
+        attr, covered, z, bary, alpha = jax.lax.map(render_tiles, ids)
 
         def untile(x, c):
             x = x.reshape(-1, TILE * TILE, c)[:n_tiles]
@@ -137,6 +182,7 @@ class MeshRasterizer:
             untile(covered[..., None], 1)[..., 0],
             untile(z[..., None], 1)[..., 0],
             untile(bary, 3),
+            untile(alpha[..., None], 1)[..., 0],
         )
 
 

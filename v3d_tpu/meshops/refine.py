@@ -71,8 +71,10 @@ class TextureRefiner:
         clip = verts_to_clip(self.verts, self.mvps[view_idx])
         colors = jax.nn.sigmoid(logits)
         out = self.raster(clip, self.faces, colors)
-        img = out.attr + (1.0 - out.mask[..., None])  # white background
-        return img, out.mask
+        # antialiased composite over white (dr.antialias on color+alpha,
+        # mesh_recon/refine.py:115-168)
+        img = out.attr * out.alpha[..., None] + (1.0 - out.alpha[..., None])
+        return img, out.alpha
 
     def _train_step(self, logits, opt_state, view_slot):
         def loss_fn(logits):
