@@ -1,9 +1,29 @@
 """Temporal attention blocks (counterpart of sgm/modules/video_attention.py).
 
 The V3D layout convention: video batches are ``(b*t, ...)`` with frames
-fastest-varying.  Temporal attention operates per spatial location: tokens
-``((b t), s, c)`` are rearranged to ``((b s), t, c)`` so each pixel attends
-across the 18 orbit frames (video_attention.py:113-140).
+fastest-varying.  Temporal attention operates per spatial location: each
+pixel attends across the 18 orbit frames (video_attention.py:113-140).
+
+TPU layout design (round 2): the reference (and our round-1 port)
+rearranges ``((b t), s, c) -> ((b s), t, c)`` and back around every temporal
+block — two full HBM transposes per block, and XLA lowers the resulting
+huge batch of 18x18 attentions poorly (~96 ms/step total, see
+benchmarks/profile_unet_step.py).  Here the block instead operates on the
+FREE reshape ``(b, t, s, c)`` and:
+
+- temporal self-attention projects straight into the fused kernel's
+  (t, d, n) layout with einsums (the transpose rides the matmul epilogue)
+  and runs ops.temporal_attention.temporal_core — a single-pass Pallas
+  kernel on TPU;
+- the cross-attention to the per-video time context keeps the context as
+  (b, s_ctx, d) — the reference repeats it per-pixel
+  (video_attention.py:244-253), a (b*h*w, 1, 1024) materialization that is
+  pure bandwidth waste;
+- ff_in / ff / LayerNorms are layout-agnostic (last-dim ops).
+
+Everything is parameter-compatible with the reference checkpoint mapping
+(children named attn1/attn2 with to_q/to_k/to_v/to_out kernels of identical
+shapes), verified by tests/test_unet_parity*.py.
 """
 
 from __future__ import annotations
@@ -15,7 +35,6 @@ import flax.linen as nn
 
 from v3d_tpu.models.attention_blocks import (
     BasicTransformerBlock,
-    CrossAttention,
     FeedForward,
 )
 from v3d_tpu.models.layers import (
@@ -25,14 +44,103 @@ from v3d_tpu.models.layers import (
     dense,
     timestep_embedding,
 )
+from v3d_tpu.ops.temporal_attention import temporal_core
+
+
+class _ProjParams(nn.Module):
+    """Param container laid out exactly like nn.Dense (kernel (in, out)
+    [+ bias]) so converted torch weights drop in, but applied by the caller
+    with custom einsums for layout-fused projections."""
+
+    in_features: int
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class TemporalSelfAttention(nn.Module):
+    """Self-attention over the frame axis of (b, t, s, c) tokens, fused:
+    QKV einsums write directly in the kernel's (t, d, n) layout and the
+    output projection folds the inverse transpose (attention.py:260-351
+    semantics, to_q/to_k/to_v no-bias + to_out)."""
+
+    heads: int
+    dim_head: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, s, c = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+        dt = self.dtype or x.dtype
+        wq, _ = _ProjParams(c, inner, name="to_q")()
+        wk, _ = _ProjParams(c, inner, name="to_k")()
+        wv, _ = _ProjParams(c, inner, name="to_v")()
+        wo, bo = _ProjParams(inner, c, use_bias=True, name="to_out")()
+        n = b * s * h
+
+        def proj(w):
+            y = jnp.einsum("btsc,chd->tdbsh", x, w.reshape(c, h, dh).astype(dt))
+            return y.reshape(t, dh, n)
+
+        o = temporal_core(proj(wq), proj(wk), proj(wv))
+        o = o.reshape(t, dh, b, s, h)
+        out = jnp.einsum("tdbsh,hdc->btsc", o,
+                         wo.reshape(h, dh, c).astype(dt))
+        return out + bo.astype(dt)
+
+
+class TemporalCrossAttention(nn.Module):
+    """Cross-attention of (b, t, s, c) tokens to a per-video context
+    (b, s_ctx, ctx_dim) — every frame/pixel attends to the same few context
+    tokens (V3D: s_ctx=1, the first frame's CLIP embedding), so the context
+    is NOT repeated per pixel."""
+
+    heads: int
+    dim_head: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, t, s, c = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+        dt = self.dtype or x.dtype
+        wq, _ = _ProjParams(c, inner, name="to_q")()
+        wk, _ = _ProjParams(context.shape[-1], inner, name="to_k")()
+        wv, _ = _ProjParams(context.shape[-1], inner, name="to_v")()
+        wo, bo = _ProjParams(inner, c, use_bias=True, name="to_out")()
+
+        q = jnp.einsum("btsc,chd->btshd", x, wq.reshape(c, h, dh).astype(dt))
+        k = jnp.einsum("bkc,chd->bkhd", context,
+                       wk.reshape(-1, h, dh).astype(dt))
+        v = jnp.einsum("bkc,chd->bkhd", context,
+                       wv.reshape(-1, h, dh).astype(dt))
+        logits = jnp.einsum("btshd,bkhd->btshk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / (dh ** 0.5)
+        probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+        probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(dt)
+        o = jnp.einsum("btshk,bkhd->btshd", probs, v)
+        out = jnp.einsum("btshd,hdc->btsc", o, wo.reshape(h, dh, c).astype(dt))
+        return out + bo.astype(dt)
 
 
 class VideoTransformerBlock(nn.Module):
     """video_attention.py:15-144 — temporal transformer block.
 
     Input ((b t), s, c); attends over t per spatial position, with optional
-    input FF ("ff_in") and cross-attention to the per-video time context.
-    """
+    input FF ("ff_in") and cross-attention to the per-video time context
+    (passed UNREPEATED as (b, s_ctx, d))."""
 
     heads: int
     dim_head: int
@@ -48,11 +156,12 @@ class VideoTransformerBlock(nn.Module):
         bt, s, c = x.shape
         t = self.num_frames
         b = bt // t
-        # ((b t), s, c) -> ((b s), t, c)
-        x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
+        x = x.reshape(b, t, s, c)  # frames-major: free reshape
 
         inner = self.heads * self.dim_head
         is_res = inner == c
+        assert not self.disable_self_attn, \
+            "V3D always self-attends temporally (video_attention.py:70)"
 
         if self.ff_in:
             x_skip = x
@@ -61,14 +170,19 @@ class VideoTransformerBlock(nn.Module):
             if is_res:
                 x = x + x_skip
 
-        sa_ctx = context if self.disable_self_attn else None
-        x = CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
-                           name="attn1")(LayerNormF32(name="norm1")(x), sa_ctx) + x
+        x = TemporalSelfAttention(self.heads, self.dim_head, dtype=self.dtype,
+                                  name="attn1")(
+            LayerNormF32(name="norm1")(x)) + x
 
         if not self.disable_temporal_crossattention:
-            ca_ctx = None if self.switch_temporal_ca_to_sa else context
-            x = CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
-                               name="attn2")(LayerNormF32(name="norm2")(x), ca_ctx) + x
+            y = LayerNormF32(name="norm2")(x)
+            if self.switch_temporal_ca_to_sa or context is None:
+                x = TemporalSelfAttention(self.heads, self.dim_head,
+                                          dtype=self.dtype, name="attn2")(y) + x
+            else:
+                x = TemporalCrossAttention(self.heads, self.dim_head,
+                                           dtype=self.dtype, name="attn2")(
+                    y, context) + x
 
         x_skip = x
         x = FeedForward(dim_out=c, dtype=self.dtype, name="ff")(
@@ -76,9 +190,7 @@ class VideoTransformerBlock(nn.Module):
         if is_res:
             x = x + x_skip
 
-        # ((b s), t, c) -> ((b t), s, c)
-        x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(bt, s, c)
-        return x
+        return x.reshape(bt, s, c)
 
 
 class SpatialVideoTransformer(nn.Module):
@@ -86,9 +198,9 @@ class SpatialVideoTransformer(nn.Module):
     temporal stack, merged per-block by a learned AlphaBlender.
 
     Input (bt, h, w, c); ``context`` (bt, s_ctx, ctx_dim).  With
-    ``use_spatial_context`` (V3D), the temporal cross-attention context is the
-    first frame's spatial context repeated per pixel
-    (video_attention.py:244-253).
+    ``use_spatial_context`` (V3D), the temporal cross-attention context is
+    the first frame's spatial context per video (video_attention.py:244-253
+    repeats it per pixel; we keep it (b, s_ctx, d) — same math, no copy).
     """
 
     heads: int
@@ -117,12 +229,9 @@ class SpatialVideoTransformer(nn.Module):
         spatial_context = context
         if self.use_spatial_context:
             assert context is not None and context.ndim == 3
-            # first-frame context per video, repeated per spatial location:
-            # (b, s_ctx, d) -> ((b h w), s_ctx, d)
-            tc0 = context[::t]
-            time_context = jnp.repeat(tc0, h * w, axis=0)
+            # first-frame context per video: (b, s_ctx, d)
+            time_context = context[::t]
         elif time_context is not None:
-            time_context = jnp.repeat(time_context, h * w, axis=0)
             if time_context.ndim == 2:
                 time_context = time_context[:, None, :]
 

@@ -116,12 +116,15 @@ class NeusTrainer:
                  directions: np.ndarray, c2ws: np.ndarray,
                  normals: Optional[np.ndarray] = None,
                  origins: Optional[np.ndarray] = None,
+                 view_weights: Optional[np.ndarray] = None,
                  config: NeusConfig = NeusConfig(), seed: int = 0):
         """images (N, H, W, 3) in [0,1]; fg_masks (N, H, W); directions
         (H, W, 3) camera-space (shared intrinsics); c2ws (N, 4, 4) OpenGL.
         ``origins`` (H, W, 3): per-pixel camera-space ray origins for
         orthographic cameras (the Wonder3D ortho-neus system,
-        systems/neus_ortho.py; None = pinhole)."""
+        systems/neus_ortho.py; None = pinhole).  ``view_weights`` (N,):
+        per-view loss weights (Wonder3D view_weights, neus_ortho.py —
+        front=1.0 down to right=0.2)."""
         self.cfg = config
         cfg = config
         self.geometry = VolumeSDF(
@@ -144,6 +147,8 @@ class NeusTrainer:
         self.directions = jnp.asarray(directions, jnp.float32)
         self.origins = (None if origins is None
                         else jnp.asarray(origins, jnp.float32))
+        self.view_weights = (None if view_weights is None
+                             else jnp.asarray(view_weights, jnp.float32))
         self.c2ws = jnp.asarray(c2ws, jnp.float32)
         self.n_images, self.h, self.w = images.shape[:3]
 
@@ -237,13 +242,15 @@ class NeusTrainer:
         fg = self.fg_masks[idx, y, x]
         normal = (self.normals[idx, y, x] if self.normals is not None
                   else jnp.zeros((num_rays, 3)))
-        return rays_o, rays_d, rgb, fg, normal
+        vw = (self.view_weights[idx] if self.view_weights is not None
+              else jnp.ones((num_rays,)))
+        return rays_o, rays_d, rgb, fg, normal, vw
 
     def _train_step(self, params, opt_state, rng, binary, level_mask,
                     fd_eps, cos_ratio, step, num_rays: int):
         cfg = self.cfg
         rng_batch, rng_render, rng_sparse, rng_perturb = jax.random.split(rng, 4)
-        rays_o, rays_d, rgb_gt, fg, normal_gt = self._sample_batch(
+        rays_o, rays_d, rgb_gt, fg, normal_gt, view_w = self._sample_batch(
             rng_batch, num_rays)
         bg = jnp.zeros(3) if cfg.background_color == "black" else jnp.ones(3)
         rgb_gt = rgb_gt * fg[:, None] + bg[None] * (1 - fg[:, None])
@@ -273,7 +280,7 @@ class NeusTrainer:
             losses = {}
             # rgb (mse on valid rays, neus_videonvs.py:200-213)
             rgb_mask = out.rays_valid & (fg >= 0)  # rgb_mask==all here
-            err = jnp.sum((out.comp_rgb - rgb_gt) ** 2, axis=-1)
+            err = jnp.sum((out.comp_rgb - rgb_gt) ** 2, axis=-1) * view_w
             losses["rgb_mse"] = ranking_loss(err, 1.0, rgb_mask) * cfg.lambda_rgb_mse
             # normal cosine loss weighted by exp(|cos(view, gt_normal)|)
             if self.normals is not None and cfg.lambda_normal > 0:
@@ -284,7 +291,9 @@ class NeusTrainer:
                 nrm_b = jnp.sqrt(jnp.sum(normal_gt**2, axis=-1) + 1e-12)
                 nerr = 1.0 - jnp.sum(out.comp_normal * normal_gt, axis=-1) / (
                     nrm_a * nrm_b)
-                w = jnp.exp(jnp.abs(cosines))
+                # per-view weights multiply in like neus_ortho.py's
+                # ranking_loss(extra_weights=view_weights[mask])
+                w = jnp.exp(jnp.abs(cosines)) * view_w
                 nerr = nerr * w / jnp.maximum(jnp.sum(w), 1e-12)
                 losses["normal"] = ranking_loss(
                     nerr, cfg.normal_p_ratio, nmask,
@@ -296,8 +305,9 @@ class NeusTrainer:
             losses["eikonal"] = jnp.mean((gnorm - 1.0) ** 2) * cfg.lambda_eikonal
             # mask bce
             opac = jnp.clip(out.opacity, 1e-3, 1 - 1e-3)
-            losses["mask"] = jnp.mean(
-                binary_cross_entropy(opac, fg)) * cfg.lambda_mask
+            losses["mask"] = (jnp.sum(
+                binary_cross_entropy(opac, fg) * view_w)
+                / jnp.maximum(jnp.sum(view_w), 1e-12)) * cfg.lambda_mask
             if cfg.lambda_opaque > 0:
                 losses["opaque"] = jnp.mean(
                     binary_cross_entropy(opac, opac)) * cfg.lambda_opaque

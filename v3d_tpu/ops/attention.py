@@ -33,7 +33,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """q: (b, sq, h, d), k/v: (b, sk, h, d) -> (b, sq, h, d)."""
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
-        backend = _pick_backend(q)
+        backend = _pick_backend(q, k)
+    if backend == "flash_jax":
+        return jax_flash_attention(q, k, v)
     if backend == "flash":
         try:
             from v3d_tpu.ops.flash_attention import flash_attention
@@ -43,13 +45,45 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return xla_attention(q, k, v)
 
 
-def _pick_backend(q) -> str:
-    # Measured on v5e (36x4096x5x64 and 6x4096x1x512): XLA's own fused
-    # attention currently beats our Pallas kernel (16 vs 51 ms / 8.8 vs 11
-    # ms), so "auto" resolves to XLA.  The flash kernel remains available via
-    # set_default_backend("flash") and is the basis for future head-folded /
-    # larger-block tuning.
+def _pick_backend(q, k) -> str:
+    # Measured on v5e (benchmarks/results/attention_sweep.json): at the
+    # 1024-token spatial level the jax pallas flash kernel wins clearly
+    # (3.5 vs 6.3 ms at 36x1024x10x64); at 4096 tokens XLA's fused attention
+    # still wins (11.8 vs 14.6 ms), and tiny/cross shapes aren't worth a
+    # kernel launch.  "auto" picks flash only where it pays.
+    b, sq, h, d = q.shape
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if (on_tpu and d == 64 and sq == k.shape[1]
+            and 512 <= sq <= 4096 and sq % 512 == 0):
+        return "flash_jax"
     return "xla"
+
+
+def jax_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """jax.experimental.pallas TPU flash attention with swept block sizes
+    (q1024/km1024/k1024 won at 36x1024x10x64; clamped to seq)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    s = q.shape[1]
+    blk = min(1024, s)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    o = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        sm_scale=1.0 / (q.shape[-1] ** 0.5), block_sizes=sizes)
+    return o.transpose(0, 2, 1, 3)
 
 
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

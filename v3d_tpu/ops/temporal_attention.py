@@ -1,16 +1,26 @@
-"""Fused temporal attention kernel (seq = num_frames = 18).
+"""Fused temporal attention (seq = num_frames = 18).
 
 The VideoUNet's temporal attention (sgm/modules/video_attention.py:113-140)
 attends across t=18 frames at EVERY spatial location: shapes are
 (batch=b*s, t=18, heads, 64).  The FLOPs are negligible (18x18 logits) but
-XLA lowers the batched tiny matmuls + multi-pass softmax as a chain of
-HBM-bound elementwise/transpose ops (~75 ms/step measured across the UNet,
-benchmarks/profile_unet_step.py).  This Pallas kernel keeps one block of
-rows resident in VMEM and does QK^T -> softmax -> PV in a single pass:
-HBM traffic = read q,k,v + write o, nothing else.
+XLA lowers the huge batch of tiny matmuls poorly (~10 ms at the ds=1 shape,
+benchmarks/profile_unet_step.py / attention_sweep.py) because an 18x18x64
+dot leaves the 128x128 MXU almost idle and the softmax runs as multi-pass
+HBM traffic.
 
-Everything is compute on the VPU via broadcast-multiply-reduce — at t=18
-the MXU would be idle anyway, and the op is purely bandwidth-bound.
+Two TPU-native formulations:
+
+- ``temporal_attention`` (Pallas): batch in the LANE dimension.  Inputs are
+  transposed to (t, d, B*h) and the kernel holds one (t, d, block_b) slab of
+  q/k/v in VMEM, computing logits/softmax/PV with VPU broadcast-reduces
+  whose minor axis is the batch — full 128-lane utilization, single pass
+  over HBM.
+- ``temporal_attention_packed`` (pure XLA): block-diagonal packing.  PACK=7
+  samples are concatenated to a 126-row super-sequence (126 ~ the 128 MXU
+  tile), one batched 126x126 matmul computes all 49 cross-sample tiles, and
+  an additive -inf mask kills the 42 off-diagonal ones before softmax, so
+  the result is EXACT.  7x redundant FLOPs, but the MXU runs dense instead
+  of 18/128-occupied.
 """
 
 from __future__ import annotations
@@ -19,43 +29,210 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[...].astype(jnp.float32) * scale  # (bb, t, d)
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t: int):
+    q = q_ref[...].astype(jnp.float32) * scale  # (t, d, bb)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
-    # (bb, t, t) logits; t is tiny so the broadcast stays in VMEM
-    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.sum(p[:, :, :, None] * v[:, None, :, :], axis=2)
-    o_ref[...] = o.astype(o_ref.dtype)
+    rows = []
+    for i in range(t):
+        s_i = jnp.sum(q[i][None, :, :] * k, axis=1)          # (t, bb)
+        s_i = s_i - jnp.max(s_i, axis=0, keepdims=True)
+        p = jnp.exp(s_i)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        rows.append(jnp.sum(p[:, None, :] * v, axis=0))       # (d, bb)
+    o_ref[...] = jnp.stack(rows).astype(o_ref.dtype)          # (t, d, bb)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
 def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                       block_b: int = 32) -> jnp.ndarray:
-    """q,k,v: (B, t, h, d) -> (B, t, h, d); softmax over the second t.
-
-    Inference path (no custom VJP yet — training uses the XLA backend)."""
+                       block_b: int = 512) -> jnp.ndarray:
+    """q,k,v: (B, t, h, d) -> (B, t, h, d); softmax over the key frames."""
     b, t, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
-
-    def reshape(x):  # head into the grid: (h*B, t, d)
-        return x.transpose(2, 0, 1, 3).reshape(h * b, t, d)
-
-    qf, kf, vf = reshape(q), reshape(k), reshape(v)
-    n = h * b
+    n = b * h
     block = min(block_b, n)
-    grid = (pl.cdiv(n, block),)
+    pad = (-n) % block
+
+    def prep(x):  # (B, t, h, d) -> (t, d, B*h), batch minor (lanes)
+        x = x.transpose(1, 3, 0, 2).reshape(t, d, n)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        return x
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    grid = ((n + pad) // block,)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel, scale=scale, t=t),
         grid=grid,
-        in_specs=[pl.BlockSpec((block, t, d), lambda i: (i, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((block, t, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, t, d), q.dtype),
+        in_specs=[pl.BlockSpec((t, d, block), lambda i: (0, 0, i))] * 3,
+        out_specs=pl.BlockSpec((t, d, block), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((t, d, n + pad), q.dtype),
+        interpret=not _on_tpu(),
     )(qf, kf, vf)
-    return out.reshape(h, b, t, d).transpose(1, 2, 0, 3)
+    out = out[:, :, :n].reshape(t, d, b, h).transpose(2, 0, 3, 1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("pack",))
+def temporal_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              pack: int = 7) -> jnp.ndarray:
+    """Exact block-diagonal-packed attention: (B, t, h, d) -> same."""
+    b, t, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    n = b * h
+    pad = (-n) % pack
+    g = (n + pad) // pack
+    s = pack * t
+
+    def prep(x):  # (B, t, h, d) -> (g, pack*t, d)
+        x = x.transpose(0, 2, 1, 3).reshape(n, t, d)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        return x.reshape(g, s, d)
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    mask = np.full((s, s), -np.inf, np.float32)
+    for i in range(pack):
+        mask[i * t:(i + 1) * t, i * t:(i + 1) * t] = 0.0
+    logits = jnp.einsum("gqd,gkd->gqk", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + jnp.asarray(mask)[None]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("gqk,gkd->gqd", probs, vf)
+    out = out.reshape(g * pack, t, d)[:n]
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t: int,
+                   pack: int, inner: int):
+    """One grid cell: ``inner`` groups of ``pack`` samples, each group one
+    (pack*t, pack*t) MXU matmul with a block-diagonal softmax mask held in
+    VMEM — the packed trick of temporal_attention_packed but with ZERO
+    logit HBM traffic."""
+    s = pack * t
+    # static block-diagonal mask: -inf off the 18x18 diagonal blocks
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0) // t
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) // t
+    neg = jnp.where(row_blk == col_blk, 0.0, -jnp.inf).astype(jnp.float32)
+    for j in range(inner):
+        sl = pl.dslice(j * s, s)
+        q = q_ref[sl, :]
+        k = k_ref[sl, :]
+        v = v_ref[sl, :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + neg
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(q.dtype)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[sl, :] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("pack", "inner"))
+def temporal_attention_mxu(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           pack: int = 7, inner: int = 8) -> jnp.ndarray:
+    """Block-packed temporal attention fully fused in Pallas: exact, runs
+    the 18x18 attention as dense 126x126 MXU tiles with an in-VMEM mask,
+    single HBM pass.  q,k,v: (B, t, h, d)."""
+    b, t, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    n = b * h
+    group = pack * inner                 # samples per grid cell
+    pad = (-n) % group
+
+    def prep(x):  # (B, t, h, d) -> (n_pad*t, d) rows, sample-major
+        x = x.transpose(0, 2, 1, 3).reshape(n, t, d)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        return x.reshape((n + pad) * t, d)
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    rows = pack * inner * t
+    grid = ((n + pad) // group,)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, t=t, pack=pack,
+                          inner=inner),
+        grid=grid,
+        in_specs=[pl.BlockSpec((rows, d), lambda i: (i, 0))] * 3,
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(((n + pad) * t, d), q.dtype),
+        interpret=not _on_tpu(),
+    )(qf, kf, vf)
+    out = out.reshape(n + pad, t, d)[:n]
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# In-model core: (t, d, n) layout with custom VJP, pallas on TPU
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    import os
+    flag = os.environ.get("V3D_TPU_TEMPORAL_KERNEL", "auto")
+    if flag in ("0", "off"):
+        return False
+    if flag in ("1", "on"):
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _xla_core(qf, kf, vf):
+    """Reference math in the (t, d, n) layout (softmax over key frames j)."""
+    scale = 1.0 / (qf.shape[1] ** 0.5)
+    s = jnp.einsum("idn,jdn->ijn", qf, kf,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=1).astype(qf.dtype)
+    return jnp.einsum("ijn,jdn->idn", p, vf)
+
+
+def _pallas_core(qf, kf, vf, block: int = 256, interpret: bool = False):
+    t, d, n = qf.shape
+    scale = 1.0 / (d ** 0.5)
+    blk = min(block, n)
+    pad = (-n) % blk
+    if pad:
+        qf, kf, vf = (jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+                      for x in (qf, kf, vf))
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, t=t),
+        grid=((n + pad) // blk,),
+        in_specs=[pl.BlockSpec((t, d, blk), lambda i: (0, 0, i))] * 3,
+        out_specs=pl.BlockSpec((t, d, blk), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((t, d, n + pad), qf.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :, :n] if pad else out
+
+
+@jax.custom_vjp
+def temporal_core(qf: jnp.ndarray, kf: jnp.ndarray, vf: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """(t, d, n) fused temporal attention.  Pallas forward on TPU; the
+    backward recomputes through the XLA formulation (same trade as
+    ops/flash_attention.py: no activation storage, exact grads)."""
+    if _on_tpu():
+        return _pallas_core(qf, kf, vf)
+    return _xla_core(qf, kf, vf)
+
+
+def _core_fwd(qf, kf, vf):
+    return temporal_core(qf, kf, vf), (qf, kf, vf)
+
+
+def _core_bwd(res, g):
+    qf, kf, vf = res
+    _, vjp = jax.vjp(_xla_core, qf, kf, vf)
+    return vjp(g)
+
+
+temporal_core.defvjp(_core_fwd, _core_bwd)
