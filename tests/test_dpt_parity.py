@@ -82,6 +82,7 @@ def test_resize_matmul_matches_torch():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dpt_normal_predictor_roundtrip(tmp_path):
     """load_dpt_normal_predictor consumes both a torch ckpt and a converted
     npz, and reproduces the reference wrapper's output chain."""

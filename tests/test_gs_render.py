@@ -119,6 +119,7 @@ def test_depth_ordering(cam32):
     assert img[cy, cx, 0] > img[cy, cx, 2], "front (red) gaussian must win"
 
 
+@pytest.mark.slow
 def test_gradients_flow(cam32):
     g = make_gaussians([[0.0, 0.0, 0.0], [0.2, 0.1, 0.0]],
                        [[0.8, 0.2, 0.1], [0.1, 0.9, 0.3]], scale=0.15)
@@ -176,6 +177,7 @@ def test_matches_naive_reference_coarse_path(cam32):
     np.testing.assert_allclose(np.asarray(out.alpha), ref_acc, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_coarse_path_gradients(cam32):
     rs = np.random.RandomState(4)
     n = 40

@@ -97,6 +97,7 @@ def test_rasterizer_depth_order():
     assert c[0] > 0.9 and c[2] < 0.1
 
 
+@pytest.mark.slow
 def test_texture_refine_converges():
     from v3d_tpu.meshops.refine import RefineConfig, TextureRefiner
 

@@ -46,6 +46,7 @@ def test_auto_orient():
     assert np.linalg.norm(out[:, :3, 3].mean(0)) < 1e-4
 
 
+@pytest.mark.slow
 def test_nerf_field_and_renderer():
     from v3d_tpu.nerf.nerf_model import NerfField, NerfRenderer, trunc_exp
 
@@ -158,6 +159,7 @@ def test_safety_filter_passthrough_and_watermark():
                               np.array(WATERMARK_BITS))
 
 
+@pytest.mark.slow
 def test_unet2d_runs():
     from v3d_tpu.models.unet2d import UNetModel
 
@@ -204,6 +206,7 @@ def test_conv1x1_equals_linear():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_image_diffusion_engine():
     from v3d_tpu.diffusion.denoise import Denoiser
     from v3d_tpu.diffusion.discretize import EDMDiscretization

@@ -248,6 +248,7 @@ def test_ray_chunked_renderer_matches():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ortho_neus_rays():
     """Wonder3D-style orthographic supervision (systems/neus_ortho.py):
     per-pixel ray origins, parallel directions."""

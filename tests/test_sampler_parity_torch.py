@@ -26,6 +26,7 @@ def _psnr(a, b, data_range):
     return 20 * np.log10(data_range / np.sqrt(mse + 1e-12))
 
 
+@pytest.mark.slow
 def test_full_sampling_loop_parity():
     install_reference()
     from sgm.modules.diffusionmodules.denoiser import Denoiser as RefDenoiser

@@ -108,6 +108,7 @@ def test_colmap_binary_roundtrip(tmp_path):
     np.testing.assert_allclose(xyz[1], [1, 0, 1])
 
 
+@pytest.mark.slow
 def test_pixelnerf_renders():
     from v3d_tpu.data.cameras import get_uniform_poses
     from v3d_tpu.models.pixelnerf import PixelNeRF

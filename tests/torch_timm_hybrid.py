@@ -208,17 +208,23 @@ def install_timm_stub():
     """Make `import timm` resolve to this fixture (and stub torchvision,
     absent in this environment) so /root/reference/mesh_recon/utils/dpt.py
     imports unmodified."""
+    import importlib.machinery
     import sys
     import types
 
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
     if "timm" not in sys.modules:
-        timm = types.ModuleType("timm")
+        timm = _mod("timm")
         timm.create_model = create_model
         sys.modules["timm"] = timm
 
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
+        tv = _mod("torchvision")
+        tr = _mod("torchvision.transforms")
 
         class Compose:
             def __init__(self, fns):

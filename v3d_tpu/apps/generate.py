@@ -23,7 +23,7 @@ def sample_one(input_path: str, checkpoint_path: Optional[str] = None,
                num_frames: int = 18, num_steps: int = 25,
                fps_id: int = 1, motion_bucket_id: int = 300,
                cond_aug: float = 0.02, seed: int = 23,
-               decoding_t: int = 6, border_ratio: float = 0.3,
+               decoding_t: int = 18, border_ratio: float = 0.3,
                min_guidance_scale: float = 3.5,
                max_guidance_scale: float = 3.5,
                sigma_max: float = 700.0,

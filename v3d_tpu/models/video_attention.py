@@ -44,7 +44,10 @@ from v3d_tpu.models.layers import (
     dense,
     timestep_embedding,
 )
-from v3d_tpu.ops.temporal_attention import temporal_core
+from v3d_tpu.ops.temporal_attention import (
+    temporal_block_attention,
+    temporal_core,
+)
 
 
 class _ProjParams(nn.Module):
@@ -67,10 +70,12 @@ class _ProjParams(nn.Module):
 
 
 class TemporalSelfAttention(nn.Module):
-    """Self-attention over the frame axis of (b, t, s, c) tokens, fused:
-    QKV einsums write directly in the kernel's (t, d, n) layout and the
-    output projection folds the inverse transpose (attention.py:260-351
-    semantics, to_q/to_k/to_v no-bias + to_out)."""
+    """Self-attention over the frame axis of (b, t, s, c) tokens
+    (attention.py:260-351 semantics, to_q/to_k/to_v no-bias + to_out),
+    fused into ONE Pallas program on TPU: QKV projection (MXU), 18-frame
+    attention per (pixel, head) with the batch in the VPU lanes, and the
+    output projection — no HBM-level layout changes at all
+    (ops.temporal_attention.temporal_block_attention)."""
 
     heads: int
     dim_head: int
@@ -86,6 +91,13 @@ class TemporalSelfAttention(nn.Module):
         wk, _ = _ProjParams(c, inner, name="to_k")()
         wv, _ = _ProjParams(c, inner, name="to_v")()
         wo, bo = _ProjParams(inner, c, use_bias=True, name="to_out")()
+        if s % 128 == 0 or s < 128:
+            out = temporal_block_attention(
+                x.astype(dt), wq.astype(dt), wk.astype(dt), wv.astype(dt),
+                wo.astype(dt), bo.astype(dt), h)
+            return out.astype(dt)
+
+        # layout-fused fallback for odd spatial sizes
         n = b * s * h
 
         def proj(w):

@@ -236,3 +236,113 @@ def _core_bwd(res, g):
 
 
 temporal_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v4: whole-temporal-attention mega-kernel (projections + attention + out
+# projection fused; natural (b, t, s, c) layout, zero HBM transposes)
+# ---------------------------------------------------------------------------
+
+
+def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
+                  t: int, heads: int, dim_head: int):
+    x = x_ref[0]                                  # (t, s_blk, c)
+    s_blk, c = x.shape[1], x.shape[2]
+    hd = heads * dim_head
+    n = s_blk * heads
+    x2 = x.reshape(t * s_blk, c)
+
+    def proj(w_ref):
+        y = jax.lax.dot_general(x2, w_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y.reshape(t, s_blk, heads, dim_head).reshape(t, n, dim_head)
+        # (t, n, d) -> (t, d, n): in-VMEM relayout, never touches HBM
+        return jnp.transpose(y, (0, 2, 1))
+
+    q = proj(wq_ref) * (1.0 / (dim_head ** 0.5))
+    k = proj(wk_ref)
+    v = proj(wv_ref)
+    rows = []
+    for i in range(t):
+        s_i = jnp.sum(q[i][None, :, :] * k, axis=1)           # (t, n)
+        s_i = s_i - jnp.max(s_i, axis=0, keepdims=True)
+        p = jnp.exp(s_i)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        rows.append(jnp.sum(p[:, None, :] * v, axis=0))        # (d, n)
+    o = jnp.stack(rows)                                        # (t, d, n)
+    o = jnp.transpose(o, (0, 2, 1)).reshape(t * s_blk, hd)
+    out = jax.lax.dot_general(o.astype(x.dtype), wo_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + bo_ref[...].astype(jnp.float32)[None]
+    o_ref[0] = out.reshape(t, s_blk, c).astype(o_ref.dtype)
+
+
+def _block_xla(x, wq, wk, wv, wo, bo, heads):
+    """XLA-equivalent of the fused block (CPU path + custom-VJP backward)."""
+    b, t, s, c = x.shape
+    hd = wq.shape[1]
+    dh = hd // heads
+
+    def proj(w):
+        return jnp.einsum("btsc,chd->tdbsh", x,
+                          w.reshape(c, heads, dh)).reshape(t, dh, b * s * heads)
+
+    o = _xla_core(proj(wq), proj(wk), proj(wv))
+    o = o.reshape(t, dh, b, s, heads)
+    out = jnp.einsum("tdbsh,hdc->btsc", o, wo.reshape(heads, dh, c))
+    return out + bo[None, None, None, :]
+
+
+def _pallas_block(x, wq, wk, wv, wo, bo, heads: int,
+                  interpret: bool = False):
+    b, t, s, c = x.shape
+    hd = wq.shape[1]
+    dh = hd // heads
+    s_blk = min(128, s)
+    assert s % s_blk == 0, (s, s_blk)
+    grid = (b, s // s_blk)
+    dt = x.dtype
+    return pl.pallas_call(
+        functools.partial(_block_kernel, t=t, heads=heads, dim_head=dh),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, s_blk, c), lambda ib, isb: (ib, 0, isb, 0)),
+            pl.BlockSpec((c, hd), lambda ib, isb: (0, 0)),
+            pl.BlockSpec((c, hd), lambda ib, isb: (0, 0)),
+            pl.BlockSpec((c, hd), lambda ib, isb: (0, 0)),
+            pl.BlockSpec((hd, c), lambda ib, isb: (0, 0)),
+            pl.BlockSpec((c,), lambda ib, isb: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, t, s_blk, c), lambda ib, isb: (ib, 0, isb, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, s, c), dt),
+        interpret=interpret,
+    )(x, wq.astype(dt), wk.astype(dt), wv.astype(dt), wo.astype(dt),
+      bo.astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def temporal_block_attention(x, wq, wk, wv, wo, bo, heads: int):
+    """Fused temporal self-attention layer: x (b, t, s, c) [post-norm
+    tokens] -> (b, t, s, c).  On TPU one Pallas program does QKV projection
+    (MXU), per-(pixel, head) 18-frame attention (VPU, batch in lanes), and
+    the output projection — HBM traffic is read x + read weights once +
+    write out.  Backward recomputes through the XLA formulation."""
+    if not _on_tpu():
+        return _block_xla(x, wq, wk, wv, wo, bo, heads)
+    return _pallas_block(x, wq, wk, wv, wo, bo, heads)
+
+
+def _block_fwd(x, wq, wk, wv, wo, bo, heads):
+    return temporal_block_attention(x, wq, wk, wv, wo, bo, heads), (
+        x, wq, wk, wv, wo, bo)
+
+
+def _block_bwd(heads, res, g):
+    x, wq, wk, wv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: _block_xla(*a, heads), x, wq, wk, wv, wo, bo)
+    return vjp(g)
+
+
+temporal_block_attention.defvjp(_block_fwd, _block_bwd)
