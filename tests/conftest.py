@@ -22,6 +22,10 @@ if os.environ.get(_MARKER) == "1":
     import jax
 
     jax.config.update("jax_threefry_partitionable", True)
+    # this XLA CPU build defaults f32 matmuls/convs to reduced (bf16-level)
+    # precision (~5e-3 rel error per op) — parity thresholds are meaningless
+    # under that, so pin true f32 for the whole suite
+    jax.config.update("jax_default_matmul_precision", "highest")
     assert jax.default_backend() == "cpu", jax.default_backend()
 else:
 

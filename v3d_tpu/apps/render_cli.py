@@ -44,7 +44,7 @@ def render_scene(ply_path: str, output: str, mode: str = "spiral",
     os.makedirs(output, exist_ok=True)
     write_video(os.path.join(output, f"{mode}.mp4"),
                 (np.clip(np.stack(rgbs), 0, 1) * 255).astype(np.uint8), fps=10)
-    if mode == "depth" or True:
+    if mode == "depth":
         d = np.stack(depths)
         d = d / max(d.max(), 1e-6)
         dc = (np.stack([d] * 3, -1) * 255).astype(np.uint8)

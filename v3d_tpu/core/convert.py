@@ -535,3 +535,53 @@ def convert_dpt(state_dict: Dict) -> Dict:
             _set(tree, path, tr(t)); continue
         raise KeyError(f"unrecognized DPT key: {key}")
     return {"params": tree}
+
+
+def convert_resunet(state_dict: Dict) -> Dict:
+    """PixelNeRF ResUNet image encoder weights
+    (sgm/modules/encoders/image_encoder.py:200-349) -> models.pixelnerf_encoder
+    flax params.  BatchNorm runs with track_running_stats=False upstream, so
+    the state_dict has only affine scale/bias (no running stats to carry)."""
+    tree: Dict = {}
+    bn_leaf = {"weight": "scale", "bias": "bias"}
+    for key, t in state_dict.items():
+        parts = key.split(".")
+        if key in ("conv1.weight",):
+            _set(tree, ("conv1", "kernel"), _conv2_w(t)); continue
+        if parts[0] == "bn1":
+            _set(tree, ("bn1", bn_leaf[parts[1]]), t2j(t)); continue
+        if parts[0].startswith("layer"):
+            li, bi = parts[0][-1], parts[1]
+            blk = (f"layer{li}_block{bi}",)
+            if parts[2] in ("conv1", "conv2"):
+                _set(tree, blk + (parts[2], "kernel"), _conv2_w(t))
+            elif parts[2] in ("bn1", "bn2"):
+                _set(tree, blk + (parts[2], bn_leaf[parts[3]]), t2j(t))
+            elif parts[2] == "downsample":
+                if parts[3] == "0":
+                    _set(tree, blk + ("down_conv", "kernel"), _conv2_w(t))
+                else:
+                    _set(tree, blk + ("down_bn", bn_leaf[parts[4]]), t2j(t))
+            else:
+                raise KeyError(key)
+            continue
+        if parts[0] in ("upconv3", "upconv2", "iconv3", "iconv2"):
+            name = parts[0]
+            # upconvN wraps conv: keys are upconvN.conv.conv.* / .conv.bn.*;
+            # iconvN keys are iconvN.conv.* / iconvN.bn.*
+            sub = parts[2] if name.startswith("upconv") else parts[1]
+            leaf = parts[-1]
+            if sub == "conv":
+                tr = _conv2_w if leaf == "weight" else t2j
+                _set(tree, (name, "conv", "kernel" if leaf == "weight" else "bias"), tr(t))
+            elif sub == "bn":
+                _set(tree, (name, "bn", bn_leaf[leaf]), t2j(t))
+            else:
+                raise KeyError(key)
+            continue
+        if parts[0] == "out_conv":
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            tr = _conv2_w if parts[1] == "weight" else t2j
+            _set(tree, ("out_conv", leaf), tr(t)); continue
+        raise KeyError(f"unrecognized ResUNet key: {key}")
+    return {"params": tree}

@@ -97,10 +97,19 @@ class PixelNeRF(nn.Module):
     far: float = 3.5
     feat_dim: int = 64
     out_feature_dim: int = 4
+    encoder_type: str = "small_unet"  # or "resunet" (image_encoder.py:200)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.encoder = SmallUNetEncoder(self.feat_dim, dtype=self.dtype)
+        if self.encoder_type == "resunet":
+            from v3d_tpu.models.pixelnerf_encoder import ResUNet
+
+            half = self.feat_dim // 2
+            self.encoder = ResUNet(coarse_out_ch=half,
+                                   fine_out_ch=self.feat_dim - half,
+                                   dtype=self.dtype)
+        else:
+            self.encoder = SmallUNetEncoder(self.feat_dim, dtype=self.dtype)
         self.mlp1 = dense(128, dtype=self.dtype, name="mlp1")
         self.mlp2 = dense(128, dtype=self.dtype, name="mlp2")
         self.density_head = dense(1, dtype=self.dtype, name="density_head")

@@ -91,7 +91,9 @@ class TemporalSelfAttention(nn.Module):
         wk, _ = _ProjParams(c, inner, name="to_k")()
         wv, _ = _ProjParams(c, inner, name="to_v")()
         wo, bo = _ProjParams(inner, c, use_bias=True, name="to_out")()
-        if s % 128 == 0 or s < 128:
+        # the fused Pallas block unrolls heads x frames; Mosaic handles the
+        # 5-head ds1 level (the expensive one) but chokes past ~8 heads
+        if s % 64 == 0 and h <= 8:
             out = temporal_block_attention(
                 x.astype(dt), wq.astype(dt), wk.astype(dt), wv.astype(dt),
                 wo.astype(dt), bo.astype(dt), h)

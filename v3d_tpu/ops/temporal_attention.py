@@ -246,35 +246,40 @@ temporal_core.defvjp(_core_fwd, _core_bwd)
 
 def _block_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, *,
                   t: int, heads: int, dim_head: int):
+    """Per-head pipeline: Mosaic rejects reshapes that split the lane dim
+    (hd -> (h, d)), so weights arrive pre-split as (h, c, d) / (h, d, c)
+    and each head runs dot -> leading-dim split -> minor transpose ->
+    VPU attention (batch in lanes) -> inverse -> accumulated out-dot."""
     x = x_ref[0]                                  # (t, s_blk, c)
     s_blk, c = x.shape[1], x.shape[2]
-    hd = heads * dim_head
-    n = s_blk * heads
     x2 = x.reshape(t * s_blk, c)
+    scale = 1.0 / (dim_head ** 0.5)
 
-    def proj(w_ref):
-        y = jax.lax.dot_general(x2, w_ref[...], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        y = y.reshape(t, s_blk, heads, dim_head).reshape(t, n, dim_head)
-        # (t, n, d) -> (t, d, n): in-VMEM relayout, never touches HBM
-        return jnp.transpose(y, (0, 2, 1))
+    acc = jnp.zeros((t * s_blk, c), jnp.float32)
+    for head in range(heads):
+        def proj(w_ref):
+            y = jax.lax.dot_general(
+                x2, w_ref[head], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.transpose(y.reshape(t, s_blk, dim_head), (0, 2, 1))
 
-    q = proj(wq_ref) * (1.0 / (dim_head ** 0.5))
-    k = proj(wk_ref)
-    v = proj(wv_ref)
-    rows = []
-    for i in range(t):
-        s_i = jnp.sum(q[i][None, :, :] * k, axis=1)           # (t, n)
-        s_i = s_i - jnp.max(s_i, axis=0, keepdims=True)
-        p = jnp.exp(s_i)
-        p = p / jnp.sum(p, axis=0, keepdims=True)
-        rows.append(jnp.sum(p[:, None, :] * v, axis=0))        # (d, n)
-    o = jnp.stack(rows)                                        # (t, d, n)
-    o = jnp.transpose(o, (0, 2, 1)).reshape(t * s_blk, hd)
-    out = jax.lax.dot_general(o.astype(x.dtype), wo_ref[...],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = out + bo_ref[...].astype(jnp.float32)[None]
+        q = proj(wq_ref) * scale                  # (t, d, s_blk)
+        k = proj(wk_ref)
+        v = proj(wv_ref)
+        rows = []
+        for i in range(t):
+            s_i = jnp.sum(q[i][None, :, :] * k, axis=1)        # (t, s_blk)
+            s_i = s_i - jnp.max(s_i, axis=0, keepdims=True)
+            p = jnp.exp(s_i)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            rows.append(jnp.sum(p[:, None, :] * v, axis=0))     # (d, s_blk)
+        o = jnp.stack(rows)                                     # (t, d, s_blk)
+        o = jnp.transpose(o, (0, 2, 1)).reshape(t * s_blk, dim_head)
+        acc = acc + jax.lax.dot_general(
+            o.astype(x.dtype), wo_ref[head], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = acc + bo_ref[...].astype(jnp.float32)       # bo is (1, c)
     o_ref[0] = out.reshape(t, s_blk, c).astype(o_ref.dtype)
 
 
@@ -294,31 +299,58 @@ def _block_xla(x, wq, wk, wv, wo, bo, heads):
     return out + bo[None, None, None, :]
 
 
+def _compiler_params(interpret: bool):
+    """Raise the scoped-VMEM ceiling: the fused block's working set
+    (x block + f32 accumulator + per-head q/k/v + double buffering) is
+    ~18-40MB, over the default 16MB but far under the chip's VMEM."""
+    if interpret:
+        return None
+    import jax.experimental.pallas.tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pallas_block(x, wq, wk, wv, wo, bo, heads: int,
                   interpret: bool = False):
     b, t, s, c = x.shape
     hd = wq.shape[1]
     dh = hd // heads
-    s_blk = min(128, s)
+    # 64-wide spatial blocks keep the per-step working set (~9MB: x block +
+    # f32 accumulator + per-head q/k/v slabs, double-buffered) under the
+    # 16MB scoped-VMEM ceiling this toolchain enforces regardless of
+    # vmem_limit_bytes; 128-wide blocks overran it by 1.76MB at ds1.
+    s_blk = 64 if s % 64 == 0 else s
     assert s % s_blk == 0, (s, s_blk)
-    grid = (b, s // s_blk)
+    n_sb = s // s_blk
     dt = x.dtype
-    return pl.pallas_call(
+    # Mosaic (this toolchain) only pipelines varying block indices on the
+    # LEADING dim, so fold (b, s-blocks) into it.  The (t <-> s-block)
+    # transpose is one fused XLA pass — far cheaper than the per-layer
+    # dot+transpose+reshape chain this kernel replaces.
+    x4 = x.reshape(b, t, n_sb, s_blk, c).transpose(0, 2, 1, 3, 4)
+    x4 = x4.reshape(b * n_sb, t, s_blk, c)
+    # pre-split weights by head on the host side (tiny tensors)
+    wq3 = wq.reshape(c, heads, dh).transpose(1, 0, 2).astype(dt)
+    wk3 = wk.reshape(c, heads, dh).transpose(1, 0, 2).astype(dt)
+    wv3 = wv.reshape(c, heads, dh).transpose(1, 0, 2).astype(dt)
+    wo3 = wo.reshape(heads, dh, c).astype(dt)
+    out = pl.pallas_call(
         functools.partial(_block_kernel, t=t, heads=heads, dim_head=dh),
-        grid=grid,
+        grid=(b * n_sb,),
         in_specs=[
-            pl.BlockSpec((1, t, s_blk, c), lambda ib, isb: (ib, 0, isb, 0)),
-            pl.BlockSpec((c, hd), lambda ib, isb: (0, 0)),
-            pl.BlockSpec((c, hd), lambda ib, isb: (0, 0)),
-            pl.BlockSpec((c, hd), lambda ib, isb: (0, 0)),
-            pl.BlockSpec((hd, c), lambda ib, isb: (0, 0)),
-            pl.BlockSpec((c,), lambda ib, isb: (0,)),
+            pl.BlockSpec((1, t, s_blk, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((heads, c, dh), lambda i: (0, 0, 0)),
+            pl.BlockSpec((heads, c, dh), lambda i: (0, 0, 0)),
+            pl.BlockSpec((heads, c, dh), lambda i: (0, 0, 0)),
+            pl.BlockSpec((heads, dh, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, s_blk, c), lambda ib, isb: (ib, 0, isb, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t, s, c), dt),
+        out_specs=pl.BlockSpec((1, t, s_blk, c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n_sb, t, s_blk, c), dt),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(x, wq.astype(dt), wk.astype(dt), wv.astype(dt), wo.astype(dt),
-      bo.astype(dt))
+    )(x4, wq3, wk3, wv3, wo3, bo.reshape(1, c).astype(dt))
+    out = out.reshape(b, n_sb, t, s_blk, c).transpose(0, 2, 1, 3, 4)
+    return out.reshape(b, t, s, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
