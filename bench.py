@@ -10,8 +10,10 @@ generation+reconstruction, of which generation is the dominant diffusion
 part.  vs_baseline = 180 / ours (higher is better).
 """
 
+import argparse
 import json
 import os
+import sys
 import time
 
 import jax
@@ -25,6 +27,116 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_SECONDS = 180.0
+
+
+def main_sharded(data: int, res: int, steps: int, model: int = 1) -> None:
+    """Frame-sharded generation over a ``data``-axis mesh (VERDICT r1 #8).
+
+    The CFG-doubled frame batch (2*t) is sharded over the data axis —
+    spatial UNet modules are embarrassingly parallel over frames, and the
+    temporal attention/conv collectives ride the mesh (parallel/mesh.py).
+    With >= ``data`` real chips this times the true sharded pipeline at full
+    resolution; on the 1-chip dev setup it self-bootstraps a virtual CPU
+    mesh and reports a FUNCTIONAL timing (correct collectives, not TPU
+    speed) at reduced resolution.
+    """
+    if len(jax.devices()) < data * model:
+        _reexec_on_cpu_mesh(data * model)
+        return
+
+    from v3d_tpu.engines.builder import build_tiny_engine, build_v3d_engine
+    from v3d_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
+                                       shard_params)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    t = 18
+    assert t % data == 0, (
+        f"data axis {data} must divide the {t}-frame batch; on 8 chips use "
+        f"--mesh data=2,model=4 or data=6 (6 chips)")
+    latent = res // 8
+    mesh = make_mesh(data=data, model=model)
+    if on_tpu:
+        engine = build_v3d_engine(num_frames=t, num_steps=steps,
+                                  dtype=jnp.bfloat16)
+        ctx = 1024
+    else:  # functional CPU mesh: tiny config, same topology
+        engine = build_tiny_engine(num_frames=t, num_steps=steps,
+                                   resolution=res, dtype=jnp.bfloat16)
+        ctx = engine.unet.context_dim
+
+    rng = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(lambda: engine.unet.init(
+        rng, jnp.zeros((2 * t, latent, latent, 8)), jnp.zeros((2 * t,)),
+        jnp.zeros((2 * t, 1, ctx)), jnp.zeros((2 * t, 768)),
+        num_video_frames=t, image_only_indicator=jnp.zeros((2, t))))
+    host = jax.tree_util.tree_map(
+        lambda sh: np.zeros(sh.shape, np.dtype("bfloat16")), shapes)
+    unet_p = (shard_params(host, mesh) if model > 1
+              else replicate(host, mesh))
+    params = {"unet": unet_p}
+
+    c = {
+        "crossattn": jnp.ones((t, 1, ctx), jnp.float32),
+        "concat": jnp.ones((t, latent, latent, 4), jnp.float32) * 0.1,
+        "vector": jnp.ones((t, 768), jnp.float32),
+    }
+    uc = jax.tree_util.tree_map(jnp.zeros_like, c)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (t, latent, latent, 4))
+    # shard the frame batch over the data axis; GSPMD propagates through the
+    # CFG doubling and the UNet (temporal ops insert the collectives)
+    c = shard_batch(c, mesh)
+    uc = shard_batch(uc, mesh)
+    noise = shard_batch({"x": noise}, mesh)["x"]
+
+    with mesh:
+        @jax.jit
+        def generate(params, rng, c, uc, noise):
+            return engine.sample_latents(params, rng, c, uc, res, res,
+                                         noise=noise)
+
+        z = generate(params, rng, c, uc, noise)
+        np.asarray(z[0, 0, 0, 0])
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            z = generate(params, rng, c, uc, noise)
+            np.asarray(z[0, 0, 0, 0])
+            times.append(time.perf_counter() - t0)
+
+    kind = "real" if on_tpu else "functional_cpu"
+    print(json.dumps({
+        "metric": (f"sec_per_generation_{res}_18f_{steps}steps_"
+                   f"mesh_data{data}x{model}"),
+        "value": round(min(times), 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / min(times), 2),
+        "detail": {"mesh": f"data={data},model={model}",
+                   "timing_kind": kind,
+                   "n_devices": len(jax.devices()),
+                   "denoise_steps_per_s": round(steps / min(times), 3)},
+    }))
+
+
+def _reexec_on_cpu_mesh(n: int) -> None:
+    """Re-run this script on a scrubbed n-device virtual CPU platform
+    (tests/conftest.py recipe)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "MEGASCALE")):
+            env.pop(k)
+    flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n}").strip()
+    proc = subprocess.run([sys.executable] + sys.argv, env=env,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(proc.returncode)
 
 
 def main():
@@ -115,18 +227,41 @@ def main():
 
 LAST_KNOWN_GOOD = {
     "metric": "sec_per_generation_512_18f_25steps_1chip",
-    "value": 15.247, "unit": "s", "vs_baseline": 11.81,
-    "detail": {"unet_25step_s": 12.736, "vae_decode_s": 2.511,
-               "denoise_steps_per_s": 1.963,
+    "value": 11.8, "unit": "s", "vs_baseline": 15.25,
+    "detail": {"unet_25step_s": 11.257, "vae_decode_s": 0.543,
+               "denoise_steps_per_s": 2.221,
                "note": "fallback: previous committed measurement"},
 }
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mesh", default=None, metavar="data=N[,model=M]",
+                    help="time the sharded pipeline over an NxM-device mesh "
+                         "(frames over data, TP over model; virtual CPU "
+                         "mesh if too few chips attached)")
+    ap.add_argument("--res", type=int, default=None,
+                    help="resolution for --mesh runs (default: 512 on TPU, "
+                         "128 functional CPU)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="denoise steps for --mesh runs (default: 25 on "
+                         "TPU, 3 functional CPU)")
+    cli = ap.parse_args()
+    if cli.mesh is not None:
+        spec = dict(kv.split("=") for kv in cli.mesh.split(","))
+        n = int(spec.pop("data"))
+        m = int(spec.pop("model", "1"))
+        assert not spec, f"unknown mesh axes: {spec}"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        many_chips = len(jax.devices()) >= n * m and on_tpu
+        res = cli.res or (512 if many_chips else 128)
+        steps = cli.steps or (25 if many_chips else 3)
+        main_sharded(n, res, steps, model=m)
+        sys.exit(0)
     try:
         main()
     except Exception as e:  # emit one JSON line even on infra failure
-        import traceback, sys
+        import traceback
 
         traceback.print_exc(file=sys.stderr)
         out = dict(LAST_KNOWN_GOOD)

@@ -73,5 +73,16 @@ def install_reference():
           create_model=_unavailable)
     _stub("wandb", Image=object, log=_unavailable)
     _stub("imwatermark", WatermarkEncoder=object)
+    # pytorch3d: sgm/data/cam_utils.py imports renderer helpers at module
+    # top; the fisheye624 parity tests only exercise the torch.jit functions
+    p3_cams = _stub("pytorch3d.renderer.cameras",
+                    look_at_view_transform=_unavailable)
+    p3_ray = _stub("pytorch3d.renderer.implicit.raysampling",
+                   _xy_to_ray_bundle=_unavailable)
+    p3_impl = _stub("pytorch3d.renderer.implicit", raysampling=p3_ray)
+    p3_rend = _stub("pytorch3d.renderer", PerspectiveCameras=object,
+                    cameras=p3_cams, implicit=p3_impl,
+                    look_at_view_transform=_unavailable)
+    _stub("pytorch3d", renderer=p3_rend)
 
     sys.path.insert(0, REF)

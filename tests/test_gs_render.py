@@ -197,3 +197,29 @@ def test_coarse_path_gradients(cam32):
         arr = np.asarray(v)
         assert np.isfinite(arr).all(), f"non-finite grad {k}"
     assert float(jnp.abs(grads["xyz"]).sum()) > 0
+
+
+def test_eval_sh_deg4_matches_reference():
+    """Our eval_sh (channels-last layout) vs recon/utils/sh_utils.py eval_sh
+    for every degree 0-4, including the degree-4 band added in round 2."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sh_utils", "/root/reference/recon/utils/sh_utils.py")
+    ref_sh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_sh)
+
+    from v3d_tpu.gs.sh import eval_sh
+
+    rng = np.random.RandomState(0)
+    n = 64
+    dirs = rng.randn(n, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    sh = rng.randn(n, 25, 3).astype(np.float32)
+
+    for deg in range(5):
+        ours = np.asarray(eval_sh(deg, jnp.asarray(sh), jnp.asarray(dirs)))
+        # reference layout is [..., C, coeffs]
+        ref = np.asarray(ref_sh.eval_sh(
+            deg, np.swapaxes(sh, -1, -2), dirs))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
