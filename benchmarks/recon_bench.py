@@ -18,6 +18,16 @@ import time
 
 import numpy as np
 
+# persistent compile cache (the remote-compile path is slow; bench.py does
+# the same)
+import jax as _jax
+
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+_jax.config.update("jax_compilation_cache_dir", _cache)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def bench_gs(res: int = 512, num_pts: int = 100_000, iters: int = 20):
     import jax
@@ -31,15 +41,28 @@ def bench_gs(res: int = 512, num_pts: int = 100_000, iters: int = 20):
     cfg = GSTrainConfig(densify_from_iter=10**9, opacity_reset_interval=10**9)
     trainer = GSTrainer(cams, cfg, num_pts=num_pts,
                         capacity=int(num_pts * 1.5))
-    trainer.train_iter(0)  # compile
+    trainer.train_iter(0)  # compile per-iter path
     t0 = time.perf_counter()
     for i in range(iters):
         trainer.train_iter(i % 18)
     # sync
     float(np.asarray(trainer.params["xyz"][:1]).sum())
     dt = (time.perf_counter() - t0) / iters
+
+    # chunked path (GSTrainer.train production loop): one dispatch per
+    # lax.scan chunk amortizes the ~50ms tunnel dispatch latency
+    C = cfg.chunk_size
+    trainer.train_chunk(C)  # compile
+    float(np.asarray(trainer.params["xyz"][:1]).sum())
+    t0 = time.perf_counter()
+    reps = max(1, (2 * iters) // C)
+    for _ in range(reps):
+        trainer.train_chunk(C)
+    float(np.asarray(trainer.params["xyz"][:1]).sum())
+    dtc = (time.perf_counter() - t0) / (reps * C)
     return {"gs_iter_ms": round(dt * 1e3, 2),
-            "gs_4000iter_est_s": round(dt * 4000, 1)}
+            "gs_chunked_iter_ms": round(dtc * 1e3, 2),
+            "gs_4000iter_est_s": round(dtc * 4000, 1)}
 
 
 def bench_neus(res: int = 512, rays: int = 1024, samples: int = 1024,

@@ -43,14 +43,16 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
     trainer = GSTrainer(cams, cfg, num_pts=num_pts, seed=seed, radius=radius,
                         lpips_fn=lpips_fn)
     os.makedirs(output, exist_ok=True)
-    for i in range(iterations):
-        stats = trainer.train_iter()
-        if (i + 1) % test_every == 0 or i == 0:
-            out = trainer.render_view(0)
-            p = float(psnr(out.image, frames[0]))
-            alive = stats.get("num_alive", "-")
-            print(f"iter {stats['iter']} loss {stats['loss']:.4f} "
-                  f"psnr {p:.2f} alive {alive}")
+
+    def log_fn(stats):
+        out = trainer.render_view(0)
+        p = float(psnr(out.image, frames[0]))
+        alive = stats.get("num_alive", "-")
+        print(f"iter {stats['iter']} loss {float(stats['loss']):.4f} "
+              f"psnr {p:.2f} alive {alive}")
+
+    # chunked training: one TPU dispatch per scan chunk (GSTrainer.train)
+    trainer.train(iterations, log_every=test_every, log_fn=log_fn)
     ply_path = os.path.join(output, "point_cloud.ply")
     save_ply(ply_path, trainer.gaussians_np())
     print(f"saved {ply_path}")

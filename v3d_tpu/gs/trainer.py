@@ -57,6 +57,10 @@ class GSTrainConfig:
     coarse_factor: int = 8
     max_per_coarse: int = 2048
     random_background: bool = False
+    # lax.scan chunk for GSTrainer.train — amortizes the ~50ms per-dispatch
+    # cost of the tunneled TPU; must divide densification_interval so chunk
+    # ends align with event boundaries
+    chunk_size: int = 50
 
 
 def expon_lr(step, lr_init, lr_final, lr_delay_mult=1.0, lr_delay_steps=0,
@@ -183,6 +187,53 @@ class GSTrainer:
         }
         return fp, opt_state, stats, loss
 
+    def _train_chunk(self, fp, opt_state, stats, alive, images, wvts, fpts,
+                     centers, cam_idxs, bgs):
+        """lax.scan over _train_step: many iterations in ONE dispatch.
+        Per-call dispatch over the tunneled TPU costs ~50ms — more than the
+        compiled step itself — so the production path runs chunks of steps
+        between densification events.  Camera/image stacks are ARGUMENTS
+        (closing over them would bake 56MB of targets into the program)."""
+
+        def body(carry, xs):
+            fp, opt_state, stats = carry
+            idx, bg = xs
+            fp, opt_state, stats, loss = self._train_step(
+                fp, opt_state, stats, alive,
+                wvts[idx], fpts[idx], centers[idx], images[idx], bg)
+            return (fp, opt_state, stats), loss
+
+        (fp, opt_state, stats), losses = jax.lax.scan(
+            body, (fp, opt_state, stats), (cam_idxs, bgs))
+        return fp, opt_state, stats, losses
+
+    def train_chunk(self, n: int,
+                    cam_indices: Optional[np.ndarray] = None) -> Dict:
+        """Run ``n`` train iterations in one compiled program.  Does NOT
+        cross densification/opacity-reset boundaries — the caller schedules
+        chunks between events (see apps/recon_gs.py)."""
+        cfg = self.cfg
+        if cam_indices is None:
+            cam_indices = self.rng.randint(len(self.cams), size=n)
+        cam_idxs = jnp.asarray(np.asarray(cam_indices, np.int32))
+        if cfg.random_background:
+            bgs = jnp.asarray(self.rng.rand(n, 3).astype(np.float32))
+        else:
+            base = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
+            bgs = jnp.tile(base[None], (n, 1))
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(self._train_chunk,
+                                      donate_argnums=(0, 1, 2))
+        self.params, self.opt_state, self.stats, losses = self._chunk_jit(
+            self.params, self.opt_state, self.stats, self.alive,
+            self.images, self.cam_wvt, self.cam_fpt, self.cam_center,
+            cam_idxs, bgs)
+        self.step_count += n
+        stats = {"loss": losses[-1], "losses": losses,
+                 "iter": self.step_count}
+        self._maybe_events(stats)
+        return stats
+
     # ------------------------------------------------------------------
     def train_iter(self, cam_idx: Optional[int] = None) -> Dict:
         cfg = self.cfg
@@ -199,8 +250,18 @@ class GSTrainer:
             self.cam_wvt[cam_idx], self.cam_fpt[cam_idx],
             self.cam_center[cam_idx], self.images[cam_idx], bg)
 
-        stats = {"loss": float(loss), "iter": it}
+        # keep the loss LAZY (device scalar): float() here would force a
+        # device->host round trip per iteration, which over the tunneled TPU
+        # costs more than the whole compiled step (callers float() on demand)
+        stats = {"loss": loss, "iter": it}
 
+        self._maybe_events(stats)
+        return stats
+
+    def _maybe_events(self, stats: Dict) -> None:
+        """Densify / opacity-reset events due at the CURRENT step count."""
+        cfg = self.cfg
+        it = self.step_count
         if it < cfg.densify_until_iter:
             if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
                 stats.update(self._densify_event())
@@ -211,6 +272,42 @@ class GSTrainer:
                 self.params = {k: jnp.asarray(v) for k, v in params_np.items()}
                 self._surgery(np.ones(self.alive.shape[0], bool),
                               fields=("opacity",))
+
+    def train(self, num_iters: int, log_every: int = 0,
+              log_fn=None) -> Dict:
+        """Event-aware chunked training: lax.scan chunks of steps between
+        densify / opacity-reset / logging boundaries — one TPU dispatch per
+        chunk instead of per iteration.  Only ONE scan length is ever
+        compiled (``chunk_size``); remainder steps reuse the per-iter jit.
+        Events fire inside train_chunk/train_iter at exact multiples."""
+        cfg = self.cfg
+        C = self.cfg.chunk_size
+        end = self.step_count + num_iters
+        stats: Dict = {}
+        while self.step_count < end:
+            it = self.step_count
+            nxt = end
+            boundaries = []
+            if it < cfg.densify_until_iter:
+                boundaries.append((it // cfg.densification_interval + 1)
+                                  * cfg.densification_interval)
+                boundaries.append((it // cfg.opacity_reset_interval + 1)
+                                  * cfg.opacity_reset_interval)
+                if cfg.white_background and it < cfg.densify_from_iter:
+                    boundaries.append(cfg.densify_from_iter)
+            if log_every:
+                boundaries.append((it // log_every + 1) * log_every)
+            nxt = min([nxt] + [b for b in boundaries if b > it])
+            seg = nxt - it
+            while seg >= C > 1:
+                stats = self.train_chunk(C)
+                seg -= C
+            for _ in range(seg):
+                stats = self.train_iter()
+            if log_every and log_fn and (
+                    self.step_count % log_every == 0
+                    or self.step_count >= end):
+                log_fn(stats)
         return stats
 
     def _densify_event(self) -> Dict:

@@ -357,7 +357,8 @@ class NeusTrainer:
             self._fd_eps(), self.cos_anneal_ratio(),
             jnp.asarray(self.global_step), num_rays=num_rays)
         self.global_step += 1
-        # dynamic ray-count adaptation toward a fixed sample budget
+        # dynamic ray-count adaptation toward a fixed sample budget (this
+        # branch syncs on n_live; with it off the step stays fully async)
         if cfg.dynamic_ray_sampling:
             budget = cfg.train_num_rays * 64
             live = max(float(n_live), 1.0)
@@ -365,8 +366,10 @@ class NeusTrainer:
             self.train_num_rays = min(
                 int(self.train_num_rays * 0.9 + target * 0.1),
                 cfg.max_train_num_rays)
-        return {"loss": float(loss), "num_rays": num_rays,
-                **{k: float(v) for k, v in losses.items()}}
+        # losses stay LAZY device scalars: float()-ing the whole dict here
+        # costs one tunnel round trip PER COMPONENT per step (callers
+        # float() on demand; f-string formatting works directly)
+        return {"loss": loss, "num_rays": num_rays, **losses}
 
     def _quantized_rays(self) -> int:
         """Round the adaptive ray count to a power of two (bounded number of
