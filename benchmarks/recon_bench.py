@@ -91,9 +91,21 @@ def bench_neus(res: int = 512, rays: int = 1024, samples: int = 1024,
     t0 = time.perf_counter()
     for _ in range(iters):
         trainer.train_iter()
+    float(np.asarray(trainer.params["variance"]["params"]["variance"]))  # sync
     dt = (time.perf_counter() - t0) / iters
+
+    # chunked scan path (NeusTrainer.train production loop)
+    C = 50
+    trainer.train_chunk(C)  # compile
+    float(np.asarray(trainer.params["variance"]["params"]["variance"]))
+    t0 = time.perf_counter()
+    trainer.train_chunk(C)
+    trainer.train_chunk(C)
+    float(np.asarray(trainer.params["variance"]["params"]["variance"]))
+    dtc = (time.perf_counter() - t0) / (2 * C)
     return {"neus_step_ms": round(dt * 1e3, 2),
-            "neus_3000step_est_s": round(dt * 3000, 1)}
+            "neus_chunked_step_ms": round(dtc * 1e3, 2),
+            "neus_3000step_est_s": round(dtc * 3000, 1)}
 
 
 def main():

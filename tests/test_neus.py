@@ -272,3 +272,33 @@ def test_ortho_neus_rays():
     for _ in range(3):
         s = tr.train_iter()
         assert np.isfinite(s["loss"])
+
+
+def test_neus_train_chunk():
+    """Chunked (lax.scan) training runs, consumes the per-step progressive
+    schedules, and reduces the loss like the per-iter path."""
+    res = 16
+    n_views = 3
+    poses = get_uniform_poses(n_views, 2.0, 0.0, opengl=True)
+    focal = res / (2 * np.tan(np.deg2rad(30)))
+    dirs = get_ray_directions(res, res, focal)
+    yy, xx = np.mgrid[0:res, 0:res]
+    mask = ((yy - res / 2) ** 2 + (xx - res / 2) ** 2 < (res / 5) ** 2)
+    images = np.tile(
+        mask[None, :, :, None].astype(np.float32), (n_views, 1, 1, 3)) * 0.8
+    fg = np.repeat(mask[None], n_views, 0).astype(np.float32)
+
+    cfg = NeusConfig(num_samples_per_ray=16, train_num_rays=32,
+                     max_train_num_rays=32, dynamic_ray_sampling=False,
+                     lambda_normal=0.0, lambda_3d_normal_smooth=0.0,
+                     cos_anneal_end=10, max_steps=30,
+                     geo_neurons=16, n_levels=4, n_frequencies=4,
+                     # force per-step schedule variation inside one chunk
+                     start_step=0, update_steps=4)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg, seed=0)
+    first = trainer.train_chunk(6)
+    assert trainer.global_step == 6
+    stats = trainer.train(14, chunk=6)
+    assert trainer.global_step == 20
+    assert np.isfinite(float(stats["loss"]))
+    assert float(stats["loss"]) < float(first["loss"]) * 1.5

@@ -80,12 +80,14 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
                      ray_chunk=128 if on_tpu else 0)
     trainer = NeusTrainer(frames, fg, dirs, poses, normals=normals,
                           config=cfg, seed=seed)
-    for i in range(max_steps):
-        stats = trainer.train_iter()
-        if (i + 1) % log_every == 0:
-            print(f"step {i+1} " + " ".join(
-                f"{k}={v:.4f}" for k, v in stats.items()
-                if isinstance(v, float)))
+    def log_fn(stats):
+        print(f"step {trainer.global_step} " + " ".join(
+            f"{k}={float(v):.4f}" for k, v in stats.items()
+            if np.ndim(v) == 0 and k != "num_rays"))
+
+    # chunked scan training (one dispatch per chunk); falls back to per-iter
+    # when dynamic ray sampling / occ lookup need host feedback
+    trainer.train(max_steps, log_every=log_every, log_fn=log_fn)
 
     os.makedirs(output, exist_ok=True)
 

@@ -177,6 +177,8 @@ class NeusTrainer:
         self.train_num_rays = cfg.train_num_rays
         self._train_jit = jax.jit(self._train_step,
                                   static_argnames=("num_rays",))
+        self._chunk_jit = jax.jit(self._train_chunk,
+                                  static_argnames=("num_rays",))
         self._occ_eval_jit = jax.jit(self._occ_eval)
 
     # ------------------------------------------------------------------
@@ -338,6 +340,92 @@ class NeusTrainer:
         updates, opt_state = self.opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, losses, n_live
+
+    def _train_chunk(self, params, opt_state, rng, binary, level_masks,
+                     fd_epss, cos_ratios, steps, num_rays: int):
+        """lax.scan over _train_step — one dispatch per chunk (the tunneled
+        TPU costs ~50ms per dispatch).  Per-step schedule values
+        (progressive level mask, FD eps, cos-anneal) arrive as stacked
+        arrays computed host-side for the chunk's step range."""
+
+        def body(carry, xs):
+            params, opt_state = carry
+            r, lm, eps, cr, st = xs
+            params, opt_state, loss, losses, n_live = self._train_step(
+                params, opt_state, r, binary, lm, eps, cr, st,
+                num_rays=num_rays)
+            return (params, opt_state), (loss, losses, n_live)
+
+        rngs = jax.random.split(rng, steps.shape[0])
+        (params, opt_state), (loss, losses, n_live) = jax.lax.scan(
+            body, (params, opt_state),
+            (rngs, level_masks, fd_epss, cos_ratios, steps))
+        return params, opt_state, loss, losses, n_live
+
+    def train_chunk(self, n: int) -> Dict:
+        """Run ``n`` training steps in one compiled program.  Requires
+        static ray counts (cfg.dynamic_ray_sampling off — the TPU recipe)
+        and no occupancy-lookup grid updates inside the chunk."""
+        cfg = self.cfg
+        assert not cfg.dynamic_ray_sampling, (
+            "train_chunk needs a static ray count; use train_iter or "
+            "disable dynamic_ray_sampling")
+        steps = self.global_step + np.arange(n)
+        saved = self.global_step
+        lms, epss, crs = [], [], []
+        for s in steps:
+            self.global_step = int(s)
+            lms.append(np.asarray(self._level_mask()))
+            epss.append(self._fd_eps())
+            crs.append(self.cos_anneal_ratio())
+        self.global_step = saved
+        self.rng, rng_chunk = jax.random.split(self.rng)
+        num_rays = self._quantized_rays()
+        self.params, self.opt_state, loss, losses, n_live = self._chunk_jit(
+            self.params, self.opt_state, rng_chunk, self.occ.binary,
+            jnp.asarray(np.stack(lms)), jnp.asarray(np.asarray(epss, np.float32)),
+            jnp.asarray(np.asarray(crs, np.float32)),
+            jnp.asarray(steps), num_rays=num_rays)
+        self.global_step += n
+        return {"loss": loss[-1], "num_rays": num_rays,
+                **{k: v[-1] for k, v in losses.items()}}
+
+    def train(self, num_steps: int, chunk: int = 50, log_every: int = 0,
+              log_fn=None) -> Dict:
+        """Chunked training driver.  Chunk boundaries respect occupancy-grid
+        update points (when the lookup is enabled) and logging points; falls
+        back to per-iter stepping when dynamic ray sampling is on."""
+        cfg = self.cfg
+        stats: Dict = {}
+        if cfg.dynamic_ray_sampling:
+            for _ in range(num_steps):
+                stats = self.train_iter()
+                if log_every and log_fn and self.global_step % log_every == 0:
+                    log_fn(stats)
+            return stats
+        if cfg.grid_prune and cfg.use_occ_lookup:
+            # the occupancy lookup needs its per-step host update cadence
+            for _ in range(num_steps):
+                stats = self.train_iter()
+                if log_every and log_fn and self.global_step % log_every == 0:
+                    log_fn(stats)
+            return stats
+        end = self.global_step + num_steps
+        while self.global_step < end:
+            it = self.global_step
+            nxt = end
+            if log_every:
+                nxt = min(nxt, (it // log_every + 1) * log_every)
+            seg = nxt - it
+            # one compiled scan length only; remainder reuses the per-iter jit
+            while seg >= chunk > 1:
+                stats = self.train_chunk(chunk)
+                seg -= chunk
+            for _ in range(seg):
+                stats = self.train_iter()
+            if log_every and log_fn and self.global_step % log_every == 0:
+                log_fn(stats)
+        return stats
 
     # ------------------------------------------------------------------
     def train_iter(self) -> Dict:
