@@ -191,3 +191,69 @@ def test_rasterizer_aa_alpha_edge_gradients():
     # the diagonal runs through the center: no seam
     assert float(out_q.alpha[16, 16]) == 1.0
     assert float(out_q.alpha[10, 10]) == 1.0
+
+
+def test_atlas_unwrap_cube():
+    """UV unwrap of a cube: 6 charts, uvs in [0,1], geometry preserved
+    through the vertex remap, no chart rectangle overlaps."""
+    from v3d_tpu.meshops.uv import atlas_unwrap
+
+    # unit cube, 12 triangles
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                 np.float32)
+    quads = [  # (a,b,c,d) per face, outward order
+        (0, 1, 3, 2), (4, 6, 7, 5),  # -x +x
+        (0, 4, 5, 1), (2, 3, 7, 6),  # -y +y
+        (0, 2, 6, 4), (1, 5, 7, 3),  # -z +z
+    ]
+    f = []
+    for a, b, c, d in quads:
+        f += [(a, b, c), (a, c, d)]
+    f = np.asarray(f, np.int32)
+
+    vmapping, ft, vt = atlas_unwrap(v, f)
+    assert vt.min() >= 0.0 and vt.max() <= 1.0
+    assert ft.shape == f.shape
+    # geometry preserved: positions referenced by ft (via vmapping) match
+    np.testing.assert_allclose(v[vmapping][ft], v[f], atol=0)
+    # 6 charts: 24 uv vertices (4 per face-chart)
+    assert len(vt) == 24
+    # charts don't overlap: their bounding rectangles are disjoint
+    chart_of_vt = np.repeat(np.arange(6), 4)
+    rects = []
+    for ci in range(6):
+        sel = vt[chart_of_vt == ci]
+        rects.append((*sel.min(0), *sel.max(0)))
+    for i in range(6):
+        for j in range(i + 1, 6):
+            ax0, ay0, ax1, ay1 = rects[i]
+            bx0, by0, bx1, by1 = rects[j]
+            disjoint = ax1 <= bx0 or bx1 <= ax0 or ay1 <= by0 or by1 <= ay0
+            assert disjoint, (i, j, rects[i], rects[j])
+
+
+def test_mesh_auto_uv_roundtrip(tmp_path):
+    """Mesh.auto_uv with vmap duplicates boundary vertices and caches."""
+    from v3d_tpu.meshops.mesh import Mesh
+
+    rng = np.random.RandomState(0)
+    # icosahedron-ish: use a random convex hull-ish blob via sphere samples
+    pts = rng.randn(40, 3)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # build faces via convex hull (scipy absent: use a small fixed sphere
+    # triangulation instead — an octahedron subdivided once)
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float32)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int32)
+    m = Mesh(vertices=v.copy(), faces=f.copy()).auto_normal()
+    nv0 = len(m.vertices)
+    cache = str(tmp_path / "mesh.obj")
+    m.auto_uv(cache_path=cache)
+    assert m.uvs is not None and m.uvs.shape == (len(m.vertices), 2)
+    assert len(m.vertices) >= nv0  # boundary duplication
+    assert (tmp_path / "mesh_uv.npz").exists()
+    # second call loads the cache
+    m2 = Mesh(vertices=v.copy(), faces=f.copy())
+    m2.auto_uv(cache_path=cache)
+    np.testing.assert_allclose(m.uvs, m2.uvs)

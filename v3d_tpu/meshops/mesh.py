@@ -21,6 +21,40 @@ class Mesh:
     faces: np.ndarray                    # (F, 3) int32
     vertex_colors: Optional[np.ndarray] = None   # (V, 3) float in [0,1]
     vertex_normals: Optional[np.ndarray] = None  # (V, 3)
+    uvs: Optional[np.ndarray] = None             # (V, 2) after auto_uv(vmap)
+
+    def auto_uv(self, cache_path: Optional[str] = None,
+                vmap: bool = True) -> "Mesh":
+        """UV atlas unwrap (kiui Mesh.auto_uv semantics, mesh_recon/
+        mesh.py:485-523, with meshops.uv.atlas_unwrap replacing xatlas).
+        With ``vmap`` the vertex arrays are remapped so every vertex has a
+        unique uv (chart-boundary vertices get duplicated) — required for
+        GLTF-style export."""
+        import os
+
+        from v3d_tpu.meshops.uv import atlas_unwrap
+
+        if cache_path is not None:
+            cache_path = os.path.splitext(cache_path)[0] + "_uv.npz"
+        if cache_path is not None and os.path.exists(cache_path):
+            data = np.load(cache_path)
+            vt, ft, vmapping = data["vt"], data["ft"], data["vmapping"]
+        else:
+            vmapping, ft, vt = atlas_unwrap(self.vertices, self.faces)
+            if cache_path is not None:
+                np.savez(cache_path, vt=vt, ft=ft, vmapping=vmapping)
+        if vmap:
+            self.vertices = self.vertices[vmapping]
+            if self.vertex_colors is not None:
+                self.vertex_colors = self.vertex_colors[vmapping]
+            if self.vertex_normals is not None:
+                self.vertex_normals = self.vertex_normals[vmapping]
+            self.faces = ft.astype(np.int32)
+            self.uvs = vt.astype(np.float32)
+        else:
+            self.uvs = vt.astype(np.float32)
+            self._ft = ft
+        return self
 
     def auto_normal(self) -> "Mesh":
         v, f = self.vertices, self.faces
@@ -45,6 +79,13 @@ class Mesh:
             if self.vertex_normals is not None:
                 for n in self.vertex_normals:
                     fo.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+            if self.uvs is not None:
+                for t in self.uvs:
+                    fo.write(f"vt {t[0]} {t[1]}\n")
+                for f in self.faces + 1:
+                    fo.write(f"f {f[0]}/{f[0]} {f[1]}/{f[1]} "
+                             f"{f[2]}/{f[2]}\n")
+                return
             for f in self.faces + 1:
                 fo.write(f"f {f[0]} {f[1]} {f[2]}\n")
 
