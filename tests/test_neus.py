@@ -274,6 +274,7 @@ def test_ortho_neus_rays():
         assert np.isfinite(s["loss"])
 
 
+@pytest.mark.slow
 def test_neus_train_chunk():
     """Chunked (lax.scan) training runs, consumes the per-step progressive
     schedules, and reduces the loss like the per-iter path."""
