@@ -1,0 +1,213 @@
+"""Reconstruction QUALITY benchmark (novel-view PSNR on synthetic GT).
+
+Answers SURVEY §4's golden-metric requirement in an offline-runnable way:
+the CUDA reference can't execute here, so ground truth comes from an
+INDEPENDENT subsystem — a checkered icosphere rendered by the mesh
+rasterizer (meshops) — and the 3DGS / NeuS trainers are scored on held-out
+orbit views they never saw.
+
+    python benchmarks/quality_bench.py [--res 256] [--gs-iters 2000]
+                                       [--neus-steps 1000] [--skip-neus]
+
+Writes benchmarks/results/quality_<tag>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax as _jax
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.makedirs(os.path.join(_repo, ".jax_cache"), exist_ok=True)
+_jax.config.update("jax_compilation_cache_dir",
+                   os.path.join(_repo, ".jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def icosphere(subdiv: int = 4):
+    """Octahedron subdivided ``subdiv`` times, projected to the sphere."""
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int64)
+    for _ in range(subdiv):
+        cache = {}
+        nv = v.tolist()
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (v[a] + v[b]) / 2
+                m = m / np.linalg.norm(m)
+                cache[key] = len(nv)
+                nv.append(m.tolist())
+            return cache[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.asarray(nv)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        f = np.asarray(nf)
+    return v.astype(np.float32) * 0.6, f.astype(np.int32)
+
+
+def checker_colors(v: np.ndarray) -> np.ndarray:
+    s = 6.0
+    pat = (np.sin(s * v[:, 0]) * np.sin(s * v[:, 1]) * np.sin(s * v[:, 2]))
+    base = np.where(pat[:, None] > 0,
+                    np.asarray([[0.9, 0.25, 0.2]]),
+                    np.asarray([[0.15, 0.4, 0.85]]))
+    shade = 0.75 + 0.25 * (v[:, 2:3] / np.abs(v[:, 2:3]).max())
+    return np.clip(base * shade, 0, 1).astype(np.float32)
+
+
+def render_gt(res: int, n_views: int):
+    """GT orbit views via the MESH rasterizer (independent of GS/NeuS)."""
+    import jax.numpy as jnp
+
+    from v3d_tpu.data.cameras import get_uniform_poses
+    from v3d_tpu.meshops.rasterize import (MeshRasterizer,
+                                           perspective_from_fov,
+                                           verts_to_clip)
+
+    verts, faces = icosphere(4)
+    colors = checker_colors(verts)
+    poses_gl = get_uniform_poses(n_views, 2.0, 15.0, opengl=True)
+    proj = perspective_from_fov(60.0)
+    raster = MeshRasterizer(res, res, max_per_tile=256, tile_chunk=16)
+    vj, fj, cj = jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(colors)
+    imgs, masks = [], []
+    import jax
+
+    @jax.jit
+    def one(mvp):
+        clip = verts_to_clip(vj, mvp)
+        out = raster(clip, fj, cj)
+        img = out.attr * out.mask[..., None] + (1 - out.mask[..., None])
+        return img, out.mask
+
+    for p in poses_gl:
+        mvp = jnp.asarray(proj @ np.linalg.inv(p))
+        img, mask = one(mvp)
+        imgs.append(np.asarray(img))
+        masks.append(np.asarray(mask))
+    return np.stack(imgs), np.stack(masks).astype(np.float32)
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def bench_gs(res: int, iters: int):
+    from v3d_tpu.data.cameras import Camera, get_uniform_poses
+    from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
+
+    n_all = 36
+    imgs, _ = render_gt(res, n_all)
+    poses_cv = get_uniform_poses(n_all, 2.0, 15.0, opengl=False)
+    train_ids = list(range(0, n_all, 2))
+    hold_ids = list(range(1, n_all, 2))
+    cams_train = [Camera.from_c2w(poses_cv[i], 60.0, res, res,
+                                  image=imgs[i]) for i in train_ids]
+    cfg = GSTrainConfig(iterations=iters, densify_from_iter=500,
+                        densification_interval=100,
+                        densify_until_iter=min(iters, 15_000),
+                        opacity_reset_interval=10**9)
+    trainer = GSTrainer(cams_train, cfg, num_pts=20_000, capacity=60_000,
+                        seed=0, radius=0.7)
+    trainer.train(iters)
+
+    train_psnr = np.mean([
+        psnr(np.clip(np.asarray(trainer.render_view(k).image), 0, 1),
+             imgs[i]) for k, i in enumerate(train_ids[:6])])
+    import jax.numpy as jnp
+
+    hold_psnrs = []
+    for i in hold_ids[:6]:
+        cam = Camera.from_c2w(poses_cv[i], 60.0, res, res)
+        out = trainer._render(
+            trainer.params, trainer.alive,
+            jnp.asarray(cam.world_view_transform),
+            jnp.asarray(cam.full_proj_transform),
+            jnp.asarray(cam.camera_center), None, jnp.ones(3))
+        hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
+    return {"gs_iters": iters, "gs_train_psnr_db": round(float(train_psnr), 2),
+            "gs_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2)}
+
+
+def bench_neus(res: int, steps: int):
+    import jax
+
+    from v3d_tpu.data.cameras import get_ray_directions, get_uniform_poses
+    from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
+
+    n_all = 20
+    imgs, masks = render_gt(res, n_all)
+    poses_gl = get_uniform_poses(n_all, 2.0, 15.0, opengl=True)
+    train_ids = list(range(0, n_all, 2))
+    hold_ids = [1, 9]
+    focal = res / (2 * np.tan(np.deg2rad(30.0)))
+    dirs = get_ray_directions(res, res, focal)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cfg = NeusConfig(
+        num_samples_per_ray=512 if on_tpu else 64,
+        train_num_rays=512 if on_tpu else 64,
+        max_train_num_rays=512 if on_tpu else 64,
+        dynamic_ray_sampling=False, lambda_normal=0.0,
+        lambda_3d_normal_smooth=1.0,
+        geometry_encoding="frequency" if on_tpu else "hashgrid",
+        grad_type="finite_difference",
+        geo_neurons=128 if on_tpu else 32,
+        geo_hidden_layers=4 if on_tpu else 1,
+        use_occ_lookup=not on_tpu,
+        ray_chunk=128 if on_tpu else 0,
+        max_steps=steps, cos_anneal_end=min(steps, 5000),
+        background_color="white")
+    trainer = NeusTrainer(imgs[train_ids], masks[train_ids], dirs,
+                          poses_gl[train_ids], config=cfg, seed=0)
+    trainer.train(steps)
+
+    hold_psnrs = []
+    for i in hold_ids:
+        rgb, _, _ = trainer.render_image(poses_gl[i])
+        hold_psnrs.append(psnr(np.clip(rgb, 0, 1), imgs[i]))
+    return {"neus_steps": steps,
+            "neus_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--gs-iters", type=int, default=2000)
+    ap.add_argument("--neus-steps", type=int, default=1000)
+    ap.add_argument("--skip-gs", action="store_true")
+    ap.add_argument("--skip-neus", action="store_true")
+    ap.add_argument("--tag", default="round2")
+    args = ap.parse_args()
+    out = {"res": args.res}
+    if not args.skip_gs:
+        out.update(bench_gs(args.res, args.gs_iters))
+        print(json.dumps(out), flush=True)
+    if not args.skip_neus:
+        out.update(bench_neus(args.res, args.neus_steps))
+    print(json.dumps(out), flush=True)
+    path = os.path.join(_repo, "benchmarks", "results",
+                        f"quality_{args.tag}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
