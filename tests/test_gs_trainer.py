@@ -162,3 +162,104 @@ def test_train_handles_event_boundaries():
     tr.train(20)
     assert tr.step_count == 20
     assert np.isfinite(float(np.asarray(tr.params["xyz"]).sum()))
+
+
+def test_device_densify_matches_host():
+    """densify_and_prune_jnp == the numpy reference path for a mixed
+    clone/prune case (exact), and structurally for splits (random offsets
+    use different rngs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v3d_tpu.gs.densify import (DensifyState, densify_and_prune,
+                                    densify_and_prune_jnp)
+
+    rs = np.random.RandomState(0)
+    cap = 64
+    alive = np.zeros(cap, bool)
+    alive[:40] = True
+    g = {
+        "xyz": rs.randn(cap, 3).astype(np.float32),
+        "f_dc": rs.randn(cap, 1, 3).astype(np.float32),
+        "f_rest": rs.randn(cap, 15, 3).astype(np.float32),
+        "scaling": np.log(np.full((cap, 3), 0.005, np.float32)),  # small
+        "rotation": rs.randn(cap, 4).astype(np.float32),
+        "opacity": np.full((cap, 1), 2.0, np.float32),
+    }
+    # a few low-opacity gaussians to prune, a few high-grad to clone
+    g["opacity"][5:8] = -8.0
+    grad_accum = np.zeros(cap, np.float32)
+    grad_accum[10:20] = 1.0
+    denom = np.ones(cap, np.float32)
+    max_radii = np.zeros(cap, np.float32)
+
+    host = {k: v.copy() for k, v in g.items()}
+    host["alive"] = alive.copy()
+    host, _, hstats = densify_and_prune(
+        host, DensifyState(grad_accum.copy(), denom.copy(),
+                           max_radii.copy()),
+        np.random.RandomState(1), max_grad=0.5, min_opacity=0.005,
+        extent=2.0, max_screen_size=0.0, percent_dense=0.01)
+
+    jp = {k: jnp.asarray(v) for k, v in g.items()}
+    new_p, new_alive, touched, dstats = jax.jit(
+        densify_and_prune_jnp,
+        static_argnames=("max_screen_size",))(
+        jp, jnp.asarray(alive), jnp.asarray(grad_accum),
+        jnp.asarray(denom), jnp.asarray(max_radii),
+        jax.random.PRNGKey(0), max_grad=0.5, min_opacity=0.005,
+        extent=2.0, max_screen_size=0.0, percent_dense=0.01)
+
+    # no splits here (all scales small -> clones only): exact equality
+    assert int(dstats["split"]) == hstats["split"] == 0
+    assert int(dstats["cloned"]) == hstats["cloned"] == 10
+    assert int(dstats["pruned"]) == hstats["pruned"] == 3
+    np.testing.assert_array_equal(np.asarray(new_alive), host["alive"])
+    for k in g:
+        np.testing.assert_allclose(np.asarray(new_p[k]), host[k],
+                                   err_msg=k)
+
+    # split case: make scales large so high-grad gaussians split
+    g2 = {k: v.copy() for k, v in g.items()}
+    g2["scaling"] = np.log(np.full((cap, 3), 0.5, np.float32))
+    host2 = {k: v.copy() for k, v in g2.items()}
+    host2["alive"] = alive.copy()
+    host2, _, hstats2 = densify_and_prune(
+        host2, DensifyState(grad_accum.copy(), denom.copy(),
+                            max_radii.copy()),
+        np.random.RandomState(1), max_grad=0.5, min_opacity=0.005,
+        extent=2.0, max_screen_size=0.0, percent_dense=0.01)
+    jp2 = {k: jnp.asarray(v) for k, v in g2.items()}
+    new_p2, new_alive2, _, dstats2 = jax.jit(
+        densify_and_prune_jnp,
+        static_argnames=("max_screen_size",))(
+        jp2, jnp.asarray(alive), jnp.asarray(grad_accum),
+        jnp.asarray(denom), jnp.asarray(max_radii),
+        jax.random.PRNGKey(0), max_grad=0.5, min_opacity=0.005,
+        extent=2.0, max_screen_size=0.0, percent_dense=0.01)
+    assert int(dstats2["split"]) == hstats2["split"] == 20
+    np.testing.assert_array_equal(np.asarray(new_alive2), host2["alive"])
+    # children land in the same slots with the same colors/scales
+    np.testing.assert_allclose(np.asarray(new_p2["scaling"]),
+                               host2["scaling"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_p2["f_dc"]), host2["f_dc"])
+
+
+def test_trainer_device_densify_runs():
+    """The trainer's device densify event allocates and keeps training."""
+    from v3d_tpu.data.cameras import orbit_cameras
+    from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
+
+    res = 32
+    frames = [np.random.RandomState(i).rand(res, res, 3).astype(np.float32)
+              for i in range(4)]
+    cams = orbit_cameras(4, resolution=res, images=frames)
+    cfg = GSTrainConfig(densify_from_iter=2, densification_interval=4,
+                        densify_until_iter=100, densify_grad_threshold=1e-6,
+                        opacity_reset_interval=10**9, chunk_size=4,
+                        white_background=False)
+    tr = GSTrainer(cams, cfg, num_pts=32, capacity=128, seed=0)
+    tr.train(12)
+    n_alive = int(np.asarray(tr.alive).sum())
+    assert n_alive > 32  # densification actually added gaussians
+    assert np.isfinite(float(np.asarray(tr.params["xyz"]).sum()))

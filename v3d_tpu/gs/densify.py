@@ -85,6 +85,8 @@ def densify_and_prune(g_np: Dict[str, np.ndarray], state: DensifyState,
         free = free[k:]
         return take
 
+    new_slots = np.zeros_like(alive)
+
     # clone: copy params verbatim
     clone_idx = np.nonzero(clone_mask)[0]
     take = alloc(len(clone_idx))
@@ -94,6 +96,7 @@ def densify_and_prune(g_np: Dict[str, np.ndarray], state: DensifyState,
     for k in ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity"):
         g_np[k][take] = g_np[k][src]
     alive[take] = True
+    new_slots[take] = True
 
     # split: sample n_split new points from the gaussian, shrink by 1.6,
     # original is pruned (reference creates N=2 and prunes the source)
@@ -113,12 +116,21 @@ def densify_and_prune(g_np: Dict[str, np.ndarray], state: DensifyState,
         g_np["xyz"][take] = g_np["xyz"][src] + offset
         g_np["scaling"][take] = np.log(np.exp(g_np["scaling"][src]) / (0.8 * n_split))
         alive[take] = True
+        new_slots[take] = True
     alive[split_idx] = False  # prune split sources
 
     # prune: low opacity or huge screen/world size (gaussian_model.py:548-563)
+    # NOTE: the reference prunes on the POST-densification values
+    # (gaussian_model.py:551 re-reads get_opacity after clone/split), so
+    # recompute from the updated arrays
+    opacity = 1.0 / (1.0 + np.exp(-g_np["opacity"][:, 0]))
+    max_scale = np.exp(g_np["scaling"]).max(axis=1)
     prune = (opacity < min_opacity) & alive
     if max_screen_size > 0:
-        prune |= (state.max_radii2d > max_screen_size) & alive
+        # new points have zero accumulated radii in the reference
+        # (densification_postfix cats zeros), so they can't be size-pruned
+        radii = np.where(new_slots, 0.0, state.max_radii2d)
+        prune |= (radii > max_screen_size) & alive
         prune |= (max_scale > 0.1 * extent) & alive
     stats["pruned"] = int(prune.sum())
     alive &= ~prune
@@ -133,3 +145,146 @@ def reset_opacity(g_np: Dict[str, np.ndarray], max_opacity: float = 0.01) -> Dic
     op = np.minimum(op, max_opacity)
     g_np["opacity"] = np.log(op / (1 - op)).astype(np.float32)
     return g_np
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jitted) densify+prune: same semantics, no host round trip.
+# The host version above stays as the reference implementation (tests
+# compare the two); the trainer uses this one — pulling ~35MB of params to
+# host and back through the tunneled TPU every 100 iters cost more than the
+# 100 train steps between events.
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+
+
+def _rank_to_slot(mask: jnp.ndarray) -> jnp.ndarray:
+    """(cap,) bool -> (cap,) int: slot index of the r-th True, cap if none."""
+    cap = mask.shape[0]
+    rank = jnp.cumsum(mask) - 1                      # rank at True positions
+    out = jnp.full((cap,), cap, jnp.int32)
+    pos = jnp.where(mask, rank, cap)                 # invalid -> dropped
+    return out.at[pos].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+
+
+def _quat_rotate_jnp(q, v):
+    w, x, y, z = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    n = jnp.sqrt(w**2 + x**2 + y**2 + z**2) + 1e-12
+    w, x, y, z = w / n, x / n, y / n, z / n
+    vx, vy, vz = v[:, 0:1], v[:, 1:2], v[:, 2:3]
+    rx = (1 - 2 * (y**2 + z**2)) * vx + 2 * (x * y - w * z) * vy + 2 * (x * z + w * y) * vz
+    ry = 2 * (x * y + w * z) * vx + (1 - 2 * (x**2 + z**2)) * vy + 2 * (y * z - w * x) * vz
+    rz = 2 * (x * z - w * y) * vx + 2 * (y * z + w * x) * vy + (1 - 2 * (x**2 + y**2)) * vz
+    return jnp.concatenate([rx, ry, rz], axis=1)
+
+
+_PARAM_KEYS = ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity")
+
+
+def _touched(clone_dest, split_dest, cap):
+    t = jnp.zeros((cap,), bool)
+    t = t.at[clone_dest].set(True, mode="drop")
+    return t.at[split_dest].set(True, mode="drop")
+
+
+def densify_and_prune_jnp(params, alive, grad_accum, denom, max_radii,
+                          rng_key,
+                          max_grad: float = 0.0002,
+                          min_opacity: float = 0.005,
+                          extent: float = 2.0,
+                          max_screen_size: float = 0.0,
+                          percent_dense: float = 0.01,
+                          n_split: int = 2):
+    """Jitted densify+prune (mirrors densify_and_prune / the reference
+    gaussian_model.py:477-563).  Returns (params, alive, stats_dict) with
+    stats as device scalars."""
+    cap = alive.shape[0]
+    grads = jnp.where(denom > 0, grad_accum / jnp.maximum(denom, 1), 0.0)
+    scales = jnp.exp(params["scaling"])
+    max_scale = scales.max(axis=1)
+    opacity = jax.nn.sigmoid(params["opacity"][:, 0])
+
+    high_grad = (grads >= max_grad) & alive
+    clone_mask = high_grad & (max_scale <= percent_dense * extent)
+    split_mask = high_grad & (max_scale > percent_dense * extent)
+    free_mask = ~alive
+
+    n_free = jnp.sum(free_mask)
+    n_clone = jnp.sum(clone_mask)
+    n_split_src = jnp.sum(split_mask)
+
+    free_slot = _rank_to_slot(free_mask)       # rank -> free slot
+    clone_src = _rank_to_slot(clone_mask)      # rank -> clone source
+    split_src = _rank_to_slot(split_mask)      # rank -> split source
+
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    # clones occupy free ranks [0, nc); nc = min(n_clone, n_free)
+    nc = jnp.minimum(n_clone, n_free)
+    clone_dest = jnp.where(idx < nc, free_slot[idx], cap)
+    clone_from = jnp.where(idx < nc, clone_src[idx], 0)
+
+    # split children occupy free ranks [nc, nc + 2*ns_eff)
+    child_rank = idx                                  # rank among children
+    parent_rank = child_rank // n_split
+    ns_avail = jnp.maximum(n_free - nc, 0)
+    n_children = jnp.minimum(n_split_src * n_split, ns_avail)
+    child_ok = child_rank < n_children
+    split_dest = jnp.where(child_ok, free_slot[nc + child_rank], cap)
+    split_from = jnp.where(child_ok, split_src[parent_rank], 0)
+
+    new_params = {k: v for k, v in params.items()}
+    for k in _PARAM_KEYS:
+        v = new_params[k]
+        # clone: verbatim copy
+        v = v.at[clone_dest].set(v[clone_from], mode="drop")
+        new_params[k] = v
+
+    # split children: sampled offsets, shrunk scale
+    std = jnp.exp(params["scaling"][split_from])
+    samples = jax.random.normal(rng_key, (cap, 3)) * std
+    offset = _quat_rotate_jnp(params["rotation"][split_from], samples)
+    child_xyz = params["xyz"][split_from] + offset
+    child_scaling = jnp.log(jnp.exp(params["scaling"][split_from])
+                            / (0.8 * n_split))
+    for k in ("f_dc", "f_rest", "opacity", "rotation"):
+        new_params[k] = new_params[k].at[split_dest].set(
+            params[k][split_from], mode="drop")
+    new_params["xyz"] = new_params["xyz"].at[split_dest].set(
+        child_xyz, mode="drop")
+    new_params["scaling"] = new_params["scaling"].at[split_dest].set(
+        child_scaling, mode="drop")
+
+    new_alive = alive
+    new_alive = new_alive.at[clone_dest].set(True, mode="drop")
+    new_alive = new_alive.at[split_dest].set(True, mode="drop")
+    # prune split sources (only those whose children were actually placed —
+    # matches the host path, which always prunes candidates; when out of
+    # capacity the host also prunes, so mirror that: prune ALL candidates)
+    new_alive = jnp.where(split_mask, False, new_alive)
+
+    # prune: low opacity / huge gaussians
+    opacity_new = jax.nn.sigmoid(new_params["opacity"][:, 0])
+    prune = (opacity_new < min_opacity) & new_alive
+    if max_screen_size > 0:
+        max_scale_new = jnp.exp(new_params["scaling"]).max(axis=1)
+        # new slots have zero accumulated radii (reference
+        # densification_postfix cats zeros)
+        radii_eff = jnp.where(_touched(clone_dest, split_dest, cap),
+                              0.0, max_radii)
+        prune |= (radii_eff > max_screen_size) & new_alive
+        prune |= (max_scale_new > 0.1 * extent) & new_alive
+    new_alive = new_alive & ~prune
+
+    # moments of freshly-written slots must be zeroed (optimizer surgery):
+    # return the touched mask for the caller
+    touched = jnp.zeros((cap,), bool)
+    touched = touched.at[clone_dest].set(True, mode="drop")
+    touched = touched.at[split_dest].set(True, mode="drop")
+
+    stats = {"cloned": nc, "split": n_children,
+             "pruned": jnp.sum(prune),
+             "out_of_capacity": (n_clone - nc)
+             + (n_split_src * n_split - n_children)}
+    return new_params, new_alive, touched, stats

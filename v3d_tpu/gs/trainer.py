@@ -61,6 +61,8 @@ class GSTrainConfig:
     # cost of the tunneled TPU; must divide densification_interval so chunk
     # ends align with event boundaries
     chunk_size: int = 50
+    # debug switch: run densification on host (numpy reference path)
+    host_densify: bool = False
 
 
 def expon_lr(step, lr_init, lr_final, lr_delay_mult=1.0, lr_delay_steps=0,
@@ -311,9 +313,15 @@ class GSTrainer:
         return stats
 
     def _densify_event(self) -> Dict:
-        """Host-side densify/prune (slow path, every ~100 iters)."""
+        """Densify/prune every ~100 iters.  Default path runs ON DEVICE
+        (gs/densify.densify_and_prune_jnp) — the host version round-trips
+        ~35MB of params through the tunnel per event, which costs more than
+        the 100 train steps in between.  cfg.host_densify keeps the numpy
+        reference path selectable."""
         cfg = self.cfg
         it = self.step_count
+        if not cfg.host_densify:
+            return self._densify_event_device()
         alive_np = np.array(self.alive)
         g_np = {k: np.array(v) for k, v in self.params.items()}
         g_np["alive"] = alive_np
@@ -335,6 +343,40 @@ class GSTrainer:
         self._surgery(changed)
         dstats["num_alive"] = int(g_np["alive"].sum())
         return dstats
+
+    def _densify_event_device(self) -> Dict:
+        cfg = self.cfg
+        it = self.step_count
+        size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+        if not hasattr(self, "_densify_jit"):
+            import functools
+
+            from v3d_tpu.gs.densify import densify_and_prune_jnp
+
+            self._densify_jit = jax.jit(
+                functools.partial(
+                    densify_and_prune_jnp,
+                    max_grad=cfg.densify_grad_threshold,
+                    min_opacity=cfg.min_opacity, extent=self.extent,
+                    percent_dense=cfg.percent_dense),
+                static_argnames=("max_screen_size",))
+            self._jax_key = jax.random.PRNGKey(int(self.rng.randint(2**31)))
+        self._jax_key, sub = jax.random.split(self._jax_key)
+        old_alive = self.alive
+        new_params, new_alive, touched, dstats = self._densify_jit(
+            self.params, old_alive, self.stats["grad_accum"],
+            self.stats["denom"], self.stats["max_radii"], sub,
+            max_screen_size=size_thresh)
+        self.params = new_params
+        self.alive = new_alive
+        cap = new_alive.shape[0]
+        self.stats = {"grad_accum": jnp.zeros((cap,)),
+                      "denom": jnp.zeros((cap,)),
+                      "max_radii": jnp.zeros((cap,))}
+        self._surgery(touched | (old_alive != new_alive))
+        out = dict(dstats)
+        out["num_alive"] = jnp.sum(new_alive)  # lazy device scalar
+        return out
 
     def _surgery(self, changed: np.ndarray, fields=FLOAT_FIELDS) -> None:
         """Zero Adam moments on changed slots (reference optimizer-state
