@@ -109,7 +109,7 @@ def psnr(a, b):
     return 10 * np.log10(1.0 / max(mse, 1e-12))
 
 
-def bench_gs(res: int, iters: int):
+def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
     from v3d_tpu.data.cameras import Camera, get_uniform_poses
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
@@ -120,10 +120,16 @@ def bench_gs(res: int, iters: int):
     hold_ids = list(range(1, n_all, 2))
     cams_train = [Camera.from_c2w(poses_cv[i], 60.0, res, res,
                                   image=imgs[i]) for i in train_ids]
+    # generous per-tile K: the fixed top-K selection is the TPU static-
+    # shape compromise for the reference's unbounded per-tile lists; with
+    # K << overlapping-gaussians most of a random init never receives
+    # gradient and the fit stalls (measured: K=256 stalls at ~10dB, K=2048
+    # converges)
     cfg = GSTrainConfig(iterations=iters, densify_from_iter=500,
                         densification_interval=100,
                         densify_until_iter=min(iters, 15_000),
-                        opacity_reset_interval=10**9)
+                        opacity_reset_interval=10**9,
+                        max_per_tile=k, max_per_coarse=kc)
     trainer = GSTrainer(cams_train, cfg, num_pts=20_000, capacity=60_000,
                         seed=0, radius=0.7)
     trainer.train(iters)
@@ -190,6 +196,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--gs-iters", type=int, default=2000)
+    ap.add_argument("--gs-k", type=int, default=1024)
+    ap.add_argument("--gs-kc", type=int, default=4096)
     ap.add_argument("--neus-steps", type=int, default=1000)
     ap.add_argument("--skip-gs", action="store_true")
     ap.add_argument("--skip-neus", action="store_true")
@@ -197,7 +205,8 @@ def main():
     args = ap.parse_args()
     out = {"res": args.res}
     if not args.skip_gs:
-        out.update(bench_gs(args.res, args.gs_iters))
+        out.update(bench_gs(args.res, args.gs_iters, k=args.gs_k,
+                            kc=args.gs_kc))
         print(json.dumps(out), flush=True)
     if not args.skip_neus:
         out.update(bench_neus(args.res, args.neus_steps))

@@ -155,3 +155,46 @@ def test_corrupt_item_falls_back(archive):
     ds.ids[2] = "0/does_not_exist"
     item = ds[2]
     np.testing.assert_array_equal(item["frames"], ds[0]["frames"])
+
+
+def test_real_format_feeds_training_step(archive):
+    """End-to-end: the real-layout archive (latents mode) -> collate ->
+    engine.training_cond -> one DiffusionTrainer step.  Closes the
+    'launcher has nothing real to train on' gap from round 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from v3d_tpu.engines.builder import build_tiny_engine, init_engine_params
+    from v3d_tpu.engines.trainer import DiffusionTrainer, TrainConfig
+    from v3d_tpu.parallel.mesh import make_mesh
+
+    ds = GObjaverse(archive, use_latents=True, seed=0)
+    batch = ds.collate_fn([ds[0]])
+    # subsample the 24-view orbit to 8 frames (keeps the CPU test fast;
+    # the format plumbing is identical)
+    t = 8
+    for k, v in list(batch.items()):
+        if isinstance(v, np.ndarray) and v.shape[:1] == (N_VIEWS,):
+            batch[k] = v[:t]
+        elif isinstance(v, np.ndarray) and v.ndim >= 2 \
+                and v.shape[1] == N_VIEWS:
+            batch[k] = v[:, :t]
+    if "image_only_indicator" in batch:
+        batch["image_only_indicator"] = batch["image_only_indicator"][:, :t]
+
+    engine = build_tiny_engine(num_frames=t, resolution=256)
+    params = init_engine_params(engine, jax.random.PRNGKey(0), 256, 256)
+    # tiny engine context dim is 64; slice the real 1024-dim CLIP embedding
+    batch["cond_frames_without_noise"] = \
+        batch["cond_frames_without_noise"][..., :64]
+    cond = engine.training_cond(batch, num_frames=t)
+
+    trainer = DiffusionTrainer(engine, params["unet"],
+                               TrainConfig(base_learning_rate=1e-4,
+                                           log_every=1),
+                               mesh=make_mesh(model=1), num_frames=t)
+    b = trainer.shard_batch({"latents": batch["latents"], "cond": cond})
+    stats = trainer.train_step(jax.random.PRNGKey(0), b["latents"],
+                               b["cond"])
+    assert np.isfinite(float(stats["loss"]))
+    assert trainer.step == 1
