@@ -125,10 +125,15 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
     # K << overlapping-gaussians most of a random init never receives
     # gradient and the fit stalls (measured: K=256 stalls at ~10dB, K=2048
     # converges)
+    # lambda_opacity=0 here: the reference's 0.1*mean(opacity) term is a
+    # floater regularizer for real captures; on a synthetic object at this
+    # point budget its consistent negative gradient + Adam normalization
+    # drives a global opacity collapse (measured: alive 20000 -> 0 within
+    # 400 iters).  The rest is the train_from_vid recipe.
     cfg = GSTrainConfig(iterations=iters, densify_from_iter=500,
                         densification_interval=100,
                         densify_until_iter=min(iters, 15_000),
-                        opacity_reset_interval=10**9,
+                        opacity_reset_interval=10**9, lambda_opacity=0.0,
                         max_per_tile=k, max_per_coarse=kc)
     trainer = GSTrainer(cams_train, cfg, num_pts=20_000, capacity=60_000,
                         seed=0, radius=0.7)

@@ -140,7 +140,13 @@ def knn_mean_sq_dist(points: np.ndarray, k: int = 3,
 def random_init_pcd(rng: np.random.RandomState, num_pts: int,
                     radius: float = 2.0) -> tuple:
     """VideoNVS random init (dataset_readers.py:485-489): xyz ~ N(0,1) *
-    radius/16, uniform gray 0.2 color."""
+    radius/16, uniform SH value 0.2 — i.e. RGB = SH2RGB(0.2) ~ 0.556 light
+    gray.  (Round-2 fix: we used RGB 0.2 = dark gray, which on white-
+    background fits drives a global opacity collapse in the first ~100
+    iters — dark fog over a white scene is cheapest to remove by
+    transparency.)"""
+    from v3d_tpu.gs.sh import sh2rgb
+
     xyz = rng.randn(num_pts, 3).astype(np.float32) * radius / 16
-    colors = np.full((num_pts, 3), 0.2, np.float32)
+    colors = np.full((num_pts, 3), float(sh2rgb(0.2)), np.float32)
     return xyz, colors
