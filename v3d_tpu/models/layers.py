@@ -71,47 +71,10 @@ class LayerNormF32(nn.Module):
         return out.astype(dtype)
 
 
-class TemporalConv3(nn.Module):
-    """3-tap temporal-only conv (kernel (3,1,1)) as three shifted MATMULS.
-
-    XLA lowers the (3,1,1) conv over (b, t, h, w, c) at ~27% MFU (measured
-    1.71ms vs 0.46ms roofline per VideoResBlock in_conv at ds1); the same
-    contraction as x@W_k for k in {-1,0,+1} plus zero-edge shifts runs
-    dense on the MXU.  Param tree matches nn.Conv exactly (kernel
-    (3,1,1,cin,cout) + bias) so converters/checkpoints are unaffected."""
-
-    features: int
-    zero_init: bool = False
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
-        kernel_init = (nn.initializers.zeros if self.zero_init
-                       else nn.initializers.lecun_normal())
-        kernel = self.param("kernel", kernel_init,
-                            (3, 1, 1, cin, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        dt = self.dtype or x.dtype
-        w = kernel.reshape(3, cin, self.features).astype(dt)
-        xd = x.astype(dt)
-        # ym[k][tau] = x[tau] @ w[k]; out[t] = sum_k ym[k][t + k - 1]
-        ym = jnp.einsum("bthwc,kcd->kbthwd", xd, w)
-        zero = jnp.zeros_like(ym[0, :, :1])
-        out = (jnp.concatenate([zero, ym[0, :, :-1]], axis=1)
-               + ym[1]
-               + jnp.concatenate([ym[2, :, 1:], zero], axis=1))
-        return out + bias.astype(dt)
-
-
 def conv_nd(features: int, kernel_size, *, strides=None, padding="SAME",
             dtype=None, zero_init: bool = False, name: Optional[str] = None):
     kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
     bias_init = nn.initializers.zeros
-    if tuple(kernel_size) == (3, 1, 1) and strides is None:
-        return TemporalConv3(features, zero_init=zero_init, dtype=dtype,
-                             name=name)
     return nn.Conv(
         features=features,
         kernel_size=tuple(kernel_size),
