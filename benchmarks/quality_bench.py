@@ -137,7 +137,12 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
                         max_per_tile=k, max_per_coarse=kc)
     trainer = GSTrainer(cams_train, cfg, num_pts=20_000, capacity=60_000,
                         seed=0, radius=0.7)
-    trainer.train(iters)
+
+    def log_fn(stats):
+        print(f"iter {stats['iter']} loss {float(stats['loss']):.4f} "
+              f"alive {int(np.asarray(trainer.alive).sum())}", flush=True)
+
+    trainer.train(iters, log_every=500, log_fn=log_fn)
 
     train_psnr = np.mean([
         psnr(np.clip(np.asarray(trainer.render_view(k).image), 0, 1),
