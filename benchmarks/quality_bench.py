@@ -183,7 +183,7 @@ def bench_neus(res: int, steps: int):
         dynamic_ray_sampling=False, lambda_normal=0.0,
         lambda_3d_normal_smooth=1.0,
         geometry_encoding="frequency" if on_tpu else "hashgrid",
-        grad_type="finite_difference",
+        grad_type="analytic_fwd" if on_tpu else "finite_difference",
         geo_neurons=128 if on_tpu else 32,
         geo_hidden_layers=4 if on_tpu else 1,
         use_occ_lookup=not on_tpu,

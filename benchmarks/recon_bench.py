@@ -81,7 +81,7 @@ def bench_neus(res: int = 512, rays: int = 1024, samples: int = 1024,
                      max_train_num_rays=rays, dynamic_ray_sampling=False,
                      lambda_normal=0.0, lambda_3d_normal_smooth=1.0,
                      geometry_encoding="frequency" if on_tpu else "hashgrid",
-                     grad_type="finite_difference",
+                     grad_type="analytic_fwd" if on_tpu else "finite_difference",
                      geo_neurons=128 if on_tpu else 64,
                      geo_hidden_layers=4 if on_tpu else 1,
                      use_occ_lookup=not on_tpu,

@@ -303,3 +303,27 @@ def test_neus_train_chunk():
     assert trainer.global_step == 20
     assert np.isfinite(float(stats["loss"]))
     assert float(stats["loss"]) < float(first["loss"]) * 1.5
+
+
+def test_analytic_fwd_grad_matches_analytic():
+    """Forward-linearized SDF gradients == reverse-mode, and second-order
+    (training) grads through them are finite."""
+    pts = jnp.asarray(np.random.RandomState(0).uniform(
+        -0.8, 0.8, (32, 3)).astype(np.float32))
+    kw = dict(radius=1.0, encoding_type="frequency", n_frequencies=4,
+              n_neurons=16, n_hidden_layers=1)
+    g_an = VolumeSDF(grad_type="analytic", **kw)
+    g_fw = VolumeSDF(grad_type="analytic_fwd", **kw)
+    params = g_an.init(jax.random.PRNGKey(0), pts)
+    _, gr1, _ = g_an.apply(params, pts)
+    s2, gr2, _ = g_fw.apply(params, pts)
+    np.testing.assert_allclose(np.asarray(gr1), np.asarray(gr2),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p):
+        s, gr, _ = g_fw.apply(p, pts)
+        return jnp.mean((jnp.linalg.norm(gr, axis=-1) - 1) ** 2) + jnp.mean(s**2)
+
+    gl = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(gl))

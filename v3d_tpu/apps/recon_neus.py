@@ -72,7 +72,7 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
                      lambda_normal=1.0 if normals is not None else 0.0,
                      # TPU: gather-free geometry (see nerf/encoding.py)
                      geometry_encoding="frequency" if on_tpu else "hashgrid",
-                     grad_type="finite_difference",
+                     grad_type="analytic_fwd" if on_tpu else "finite_difference",
                      geo_neurons=128 if on_tpu else 64,
                      geo_hidden_layers=4 if on_tpu else 1,
                      freq_masking_steps=max_steps // 2 if on_tpu else 0,

@@ -51,7 +51,7 @@ def reconstruct_ortho(root: str, object_name: str, output: str,
         lambda_normal=1.0, lambda_3d_normal_smooth=1.0,
         lambda_sparsity=0.5, lambda_distortion=0.0, lambda_opaque=0.0,
         geometry_encoding="frequency" if on_tpu else "hashgrid",
-        grad_type="finite_difference",
+        grad_type="analytic_fwd" if on_tpu else "finite_difference",
         geo_neurons=128 if on_tpu else 64,
         geo_hidden_layers=4 if on_tpu else 1,
         freq_masking_steps=max_steps // 2 if on_tpu else 0,

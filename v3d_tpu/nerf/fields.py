@@ -150,6 +150,21 @@ class VolumeSDF(nn.Module):
             results.append(grad)
             results.append(feature)
             return tuple(results)
+        if with_grad and self.grad_type == "analytic_fwd" and not with_laplace:
+            # exact gradient in FORWARD mode: one linearization + 3 basis
+            # tangent passes (~4 forward-equivalents vs FD's 7).  The
+            # training backward then transposes the linear map instead of
+            # differentiating a reverse pass — sidesteps the TPU compiler's
+            # reverse-over-reverse SIGILL that rules out "analytic" there.
+            f = lambda p: self.field(p, level_mask)[..., 0]  # noqa: E731
+            _, lin = jax.linearize(f, points_world)
+            eye = jnp.eye(3, dtype=points_world.dtype)
+            grad = jnp.stack(
+                [lin(jnp.broadcast_to(eye[i], points_world.shape))
+                 for i in range(3)], axis=-1)
+            results.append(grad)
+            results.append(feature)
+            return tuple(results)
         if with_grad:
             offsets = jnp.asarray(
                 [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
