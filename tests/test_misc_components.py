@@ -247,3 +247,28 @@ def test_export_blender_cameras(tmp_path):
     assert len(meta["frames"]) == 4
     tm = np.asarray(meta["frames"][0]["transform_matrix"])
     assert tm.shape == (4, 4)
+
+
+def test_snapshot_run(tmp_path):
+    """Code/config snapshot (reference utils/callbacks.py analog)."""
+    import dataclasses
+    import tarfile
+
+    from v3d_tpu.utils.snapshot import snapshot_run
+
+    @dataclasses.dataclass
+    class Cfg:
+        lr: float = 1e-4
+        steps: int = 10
+
+    snap = snapshot_run(str(tmp_path), config=Cfg())
+    import json
+    import os
+
+    cfg = json.load(open(os.path.join(snap, "config.json")))
+    assert cfg["lr"] == 1e-4 and cfg["steps"] == 10
+    git_txt = open(os.path.join(snap, "git.txt")).read()
+    assert git_txt.startswith("HEAD ")
+    with tarfile.open(os.path.join(snap, "code.tar.gz")) as tar:
+        names = tar.getnames()
+    assert any(n.endswith("gs/trainer.py") for n in names)

@@ -43,6 +43,10 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
     trainer = GSTrainer(cams, cfg, num_pts=num_pts, seed=seed, radius=radius,
                         lpips_fn=lpips_fn)
     os.makedirs(output, exist_ok=True)
+    # run-reproducibility snapshot (reference utils/callbacks.py:52-95)
+    from v3d_tpu.utils.snapshot import snapshot_run
+
+    snapshot_run(output, config=cfg)
 
     def log_fn(stats):
         out = trainer.render_view(0)

@@ -90,6 +90,10 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
     trainer.train(max_steps, log_every=log_every, log_fn=log_fn)
 
     os.makedirs(output, exist_ok=True)
+    # run-reproducibility snapshot (reference utils/callbacks.py:52-95)
+    from v3d_tpu.utils.snapshot import snapshot_run
+
+    snapshot_run(output, config=cfg)
 
     def sdf_fn(pts):
         import jax.numpy as jnp

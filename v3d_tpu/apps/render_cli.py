@@ -36,9 +36,13 @@ def render_scene(ply_path: str, output: str, mode: str = "spiral",
         poses = get_uniform_poses(num_frames, radius, elevation)
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
     rgbs, depths = [], []
+    # "points" mode = render with scaling_modifier 0.1 (gaussians shrunk
+    # to dots, recon/render_points.py:31)
+    scaling_mod = 0.1 if mode == "points" else 1.0
     for pose in poses:
         cam = Camera.from_c2w(pose, fov, resolution, resolution)
-        out = render(g, cam, bg, active_sh_degree=g.sh_degree)
+        out = render(g, cam, bg, active_sh_degree=g.sh_degree,
+                     scaling_modifier=scaling_mod)
         rgbs.append(np.asarray(out.image))
         depths.append(np.asarray(out.depth))
     os.makedirs(output, exist_ok=True)
@@ -57,7 +61,7 @@ def main():
     p.add_argument("--ply", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default="spiral",
-                   choices=["spiral", "orbit", "depth"])
+                   choices=["spiral", "orbit", "depth", "points"])
     p.add_argument("--num-frames", type=int, default=60)
     p.add_argument("--resolution", type=int, default=512)
     args = p.parse_args()

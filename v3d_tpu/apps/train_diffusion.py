@@ -60,6 +60,10 @@ def main():
                     ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every),
         mesh=mesh, num_frames=args.num_frames)
     logger = ExperimentLogger(args.log_dir)
+    # run-reproducibility snapshot (reference utils/callbacks.py:52-95)
+    from v3d_tpu.utils.snapshot import snapshot_run
+
+    snapshot_run(args.log_dir, config=vars(args))
 
     if args.data == "synthetic":
         ds = SyntheticOrbitDataset(num_objects=64,
