@@ -272,3 +272,20 @@ def test_snapshot_run(tmp_path):
     with tarfile.open(os.path.join(snap, "code.tar.gz")) as tar:
         names = tar.getnames()
     assert any(n.endswith("gs/trainer.py") for n in names)
+
+
+def test_depth_colormap():
+    from v3d_tpu.utils.colormaps import apply_depth_colormap, turbo
+
+    x = np.linspace(0, 1, 11)
+    rgb = turbo(x)
+    assert rgb.shape == (11, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    # turbo: blue-dominant low end, red-dominant high end
+    assert rgb[1, 2] > rgb[1, 0] and rgb[-2, 0] > rgb[-2, 2]
+
+    d = np.linspace(1.0, 3.0, 64).reshape(8, 8)
+    acc = np.ones((8, 8)); acc[0, 0] = 0.0
+    out = apply_depth_colormap(d, accumulation=acc)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_allclose(out[0, 0], [1, 1, 1], atol=1e-6)  # bg white

@@ -49,10 +49,12 @@ def render_scene(ply_path: str, output: str, mode: str = "spiral",
     write_video(os.path.join(output, f"{mode}.mp4"),
                 (np.clip(np.stack(rgbs), 0, 1) * 255).astype(np.uint8), fps=10)
     if mode == "depth":
+        from v3d_tpu.utils.colormaps import apply_depth_colormap
+
         d = np.stack(depths)
-        d = d / max(d.max(), 1e-6)
-        dc = (np.stack([d] * 3, -1) * 255).astype(np.uint8)
-        write_video(os.path.join(output, "depth.mp4"), dc, fps=10)
+        dc = np.stack([apply_depth_colormap(f) for f in d])
+        write_video(os.path.join(output, "depth.mp4"),
+                    (dc * 255).astype(np.uint8), fps=10)
     print(f"rendered {len(poses)} views to {output}")
 
 
