@@ -5,12 +5,16 @@ Replaces the CUDA ``diff-gaussian-rasterization`` submodule
 
 - EWA projection (means -> screen, 3D cov -> 2D conic) is dense vectorized
   math over all N gaussians.
-- Rasterization is tile-based like the CUDA kernel (16x16 tiles), but
-  instead of a dynamic per-tile list, each tile gathers its K nearest
-  (depth-sorted via masked top_k) overlapping gaussians into a FIXED-size
-  slab and alpha-composites front-to-back with an exclusive cumprod —
-  all static shapes, fully differentiable by JAX autodiff (the CUDA
-  backward kernel comes for free).
+- Rasterization is tile-based like the CUDA kernel (16x16 tiles).  A coarse
+  binning stage preselects the Kc depth-nearest overlapping gaussians per
+  coarse cell (static-shape recast of the CUDA duplicate-and-sort binning);
+  each fine tile then STREAMS the whole depth-sorted slab through a
+  running-transmittance compositor (``lax.scan`` over fixed depth chunks,
+  flash-attention style) — no per-tile top-K truncation.  Round 2 used a
+  fixed top-K slab per tile; measured object-centric fits put 2000+
+  gaussians on p95 tiles, so any affordable K starved most gaussians of
+  gradient and the fit stalled at 16.5 dB.  All static shapes, fully
+  differentiable by JAX autodiff (the CUDA backward kernel comes for free).
 - Tiles are processed in chunks under ``lax.map`` with rematerialization to
   bound working memory.
 
@@ -124,12 +128,12 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
-    # defaults profiled on v5e at 512^2 / 100k gaussians: fwd 63ms bwd 50ms
-    # (vs 166/525 ms for flat K=512 selection)
-    max_per_tile: int = 256       # K: gaussians composited per fine tile
+    max_per_tile: int = 256       # depth-chunk size D of the streaming
+    #                               compositor (NOT a truncation limit: every
+    #                               coarse-slab gaussian is composited)
     tile_chunk: int = 32          # fine tiles processed per lax.map step
     coarse_factor: int = 8        # coarse cell = coarse_factor^2 fine tiles
-    max_per_coarse: int = 2048    # Kc: gaussians preselected per coarse cell
+    max_per_coarse: int = 4096    # Kc: gaussians preselected per coarse cell
     force_coarse: bool = False    # exercise the coarse path even when N <= Kc
 
 
@@ -153,29 +157,31 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         means2d = means2d + screen_offset
 
     N = means2d.shape[0]
-    K = min(config.max_per_tile, N)
     n_tx = -(-width // TILE)
     n_ty = -(-height // TILE)
     n_tiles = n_tx * n_ty
 
     tile_ids = jnp.arange(n_tiles)
     depth_masked = jnp.where(proj.valid, proj.depth, jnp.inf)
+    # invalid gaussians (behind camera / degenerate cov / dead slot) must be
+    # inert in the streaming compositor: zero opacity is enough
+    op_eff = jnp.where(proj.valid, proj.opacity, 0.0)
 
     # pack all per-gaussian attributes so every selection stage is a SINGLE
     # row gather (TPU gathers cost ~100ns/row; 6 separate field gathers were
-    # the profile hotspot): [m2(2) | conic(3) | color(3) | op | depth | r]
+    # the profile hotspot): [m2(2) | conic(3) | color(3) | op | depth]
     packed = jnp.concatenate([
-        means2d, proj.conic, proj.color, proj.opacity[:, None],
-        proj.depth[:, None], proj.radius[:, None]], axis=1)        # (N, 11)
+        means2d, proj.conic, proj.color, op_eff[:, None],
+        proj.depth[:, None]], axis=1)                      # (N, 10)
+    DEAD = jnp.asarray([0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32)
 
     gx_all = means2d[:, 0]
     gy_all = means2d[:, 1]
     r_all = proj.radius
 
     # ---- coarse binning: group fine tiles into coarse cells and preselect
-    # the Kc nearest overlapping gaussians per cell.  This turns the
-    # selection cost from n_tiles*N into n_coarse*N + n_tiles*Kc — the CUDA
-    # rasterizer's duplicate-and-sort binning recast as two masked top_ks.
+    # the Kc depth-nearest overlapping gaussians per cell (the CUDA
+    # rasterizer's duplicate-and-sort binning recast as a masked top_k).
     cf = config.coarse_factor
     Kc = min(config.max_per_coarse, N)
     use_coarse = cf > 1 and (N > Kc or config.force_coarse)
@@ -191,13 +197,27 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
                      & (gy_all[None] - r_all[None] <= cys[:, None] + ctile))
         c_score = jnp.where(c_overlap, depth_masked[None], jnp.inf)
         c_neg, coarse_idx = jax.lax.top_k(-c_score, Kc)  # (n_coarse, Kc)
-        coarse_ok = jnp.isfinite(c_neg)
-        cg = packed[coarse_idx]                          # (n_coarse, Kc, 11)
-        # dead entries: opacity 0, depth inf (selection), radius -1 (overlap)
-        cg = jnp.where(
-            coarse_ok[..., None],
-            cg,
-            jnp.asarray([0, 0, 0, 0, 0, 0, 0, 0, 0, jnp.inf, -1.0])[None, None, :])
+        coarse_ok = jnp.isfinite(c_neg)                  # sorted near -> far
+        slab_all = packed[coarse_idx]                    # (n_coarse, Kc, 10)
+        slab_all = jnp.where(coarse_ok[..., None], slab_all,
+                             DEAD[None, None, :])
+        Kq = Kc
+    else:
+        # small scene: one global near->far sort shared by every tile
+        order = jnp.argsort(depth_masked)
+        slab_all = packed[order][None]                   # (1, N, 10)
+        Kq = N
+
+    # streaming compositor: scan over fixed-size depth chunks with a running
+    # per-pixel transmittance — every slab gaussian is composited, none
+    # truncated.  Chunk size D bounds the working set (C*P*D).
+    D = max(1, min(config.max_per_tile, Kq))
+    pad_k = (-Kq) % D
+    if pad_k:
+        slab_all = jnp.concatenate([
+            slab_all,
+            jnp.broadcast_to(DEAD, (slab_all.shape[0], pad_k, 10))], axis=1)
+    n_d = (Kq + pad_k) // D
 
     # pixel coordinates within a tile (TILE*TILE, 2) as (x, y)
     py, px = jnp.mgrid[0:TILE, 0:TILE]
@@ -209,55 +229,56 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         ty = (ids // n_tx).astype(jnp.float32)
         x0 = tx * TILE
         y0 = ty * TILE
+        C = ids.shape[0]
+        P = TILE * TILE
         if use_coarse:
             cid = (ids // n_tx) // cf * n_cx + (ids % n_tx) // cf  # (C,)
-            slab = cg[cid]                                # (C, Kc, 11)
-            gx = slab[..., 0]
-            gy = slab[..., 1]
-            r = slab[..., 10]
-            dpt_src = slab[..., 9]
-            overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
-                       (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
-            score = jnp.where(overlap, dpt_src, jnp.inf)
-            neg_depth, sub = jax.lax.top_k(-score, min(K, Kc))  # (C, K)
-            sel_ok = jnp.isfinite(neg_depth)
-            sel = jnp.take_along_axis(slab, sub[..., None], axis=1)
+            slab = slab_all[cid]                       # (C, Kq+pad, 10)
         else:
-            gx = means2d[None, :, 0]
-            gy = means2d[None, :, 1]
-            r = proj.radius[None, :]
-            overlap = ((gx + r >= x0[:, None]) & (gx - r <= x0[:, None] + TILE) &
-                       (gy + r >= y0[:, None]) & (gy - r <= y0[:, None] + TILE))
-            score = jnp.where(overlap, depth_masked[None, :], jnp.inf)
-            neg_depth, idx = jax.lax.top_k(-score, K)      # (C, K) near->far
-            sel_ok = jnp.isfinite(neg_depth)
-            sel = packed[idx]                              # (C, K, 11)
-        m2 = sel[..., 0:2]
-        con = sel[..., 2:5]
-        col = sel[..., 5:8]
-        op = jnp.where(sel_ok, sel[..., 8], 0.0)
-        dpt = jnp.where(sel_ok, sel[..., 9], 0.0)
+            slab = slab_all                            # (1, Kq+pad, 10)
+        chunks = slab.reshape(slab.shape[0], n_d, D, 10).transpose(1, 0, 2, 3)
 
         # pixel centers of this tile chunk: (C, P, 2)
         pix = (tile_pix[None] + jnp.stack([x0, y0], axis=-1)[:, None, :])
-        d = pix[:, :, None, :] - m2[:, None, :, :]          # (C, P, K, 2)
-        dx, dy = d[..., 0], d[..., 1]
-        power = (-0.5 * (con[:, None, :, 0] * dx * dx
-                         + con[:, None, :, 2] * dy * dy)
-                 - con[:, None, :, 1] * dx * dy)            # (C, P, K)
-        alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(power))
-        alpha = jnp.where((power <= 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
 
-        one_minus = 1.0 - alpha
-        T_incl = jnp.cumprod(one_minus, axis=-1)
-        T_excl = jnp.concatenate(
-            [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1)
-        live = T_excl >= 1e-4                               # CUDA stop criterion
-        w = alpha * T_excl * live                           # (C, P, K)
+        # checkpoint: without it the scan backward stores (C, P, D) residuals
+        # for every depth chunk (~1.5GB at 512^2 / Kc=16384); with it only
+        # the (C, P) carries persist and alpha recomputes in backward
+        @jax.checkpoint
+        def body(carry, ch):
+            # ch: (C or 1, D, 10) — broadcasting handles the shared-slab case
+            T, rgb, acc, dep = carry
+            m2 = ch[..., 0:2]
+            con = ch[..., 2:5]
+            col = ch[..., 5:8]
+            op = ch[..., 8]
+            dpt = ch[..., 9]
+            d = pix[:, :, None, :] - m2[:, None, :, :]      # (C, P, D, 2)
+            dx, dy = d[..., 0], d[..., 1]
+            power = (-0.5 * (con[:, None, :, 0] * dx * dx
+                             + con[:, None, :, 2] * dy * dy)
+                     - con[:, None, :, 1] * dx * dy)        # (C, P, D)
+            alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(power))
+            alpha = jnp.where((power <= 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
 
-        rgb = jnp.einsum("cpk,ckj->cpj", w, col)
-        acc = jnp.sum(w, axis=-1)
-        dep = jnp.einsum("cpk,ck->cp", w, dpt)
+            one_minus = 1.0 - alpha
+            T_local = jnp.cumprod(one_minus, axis=-1)
+            T_excl = T[..., None] * jnp.concatenate(
+                [jnp.ones_like(T_local[..., :1]), T_local[..., :-1]], axis=-1)
+            live = T_excl >= 1e-4                           # CUDA stop criterion
+            w = alpha * T_excl * live                       # (C, P, D)
+
+            rgb = rgb + jnp.einsum("cpk,ckj->cpj", w, jnp.broadcast_to(
+                col, (C,) + col.shape[1:]))
+            acc = acc + jnp.sum(w, axis=-1)
+            dep = dep + jnp.einsum("cpk,ck->cp", w, jnp.broadcast_to(
+                dpt, (C,) + dpt.shape[1:]))
+            T = T * T_local[..., -1]
+            return (T, rgb, acc, dep), None
+
+        init = (jnp.ones((C, P)), jnp.zeros((C, P, 3)), jnp.zeros((C, P)),
+                jnp.zeros((C, P)))
+        (T, rgb, acc, dep), _ = jax.lax.scan(body, init, chunks)
         # telescoping: sum_i alpha_i T_i + T_final == 1 (also under the stop
         # mask), so the background weight is exactly 1 - acc
         rgb = rgb + (1.0 - acc)[..., None] * background[None, None, :]

@@ -179,8 +179,17 @@ class GSTrainer:
         updates, opt_state = self.opt.update(grads, opt_state, fp)
         fp = optax.apply_updates(fp, updates)
         visible = out.radii > 0
-        # on-device densification stats (gaussian_model.py:566-569)
-        gnorm = jnp.linalg.norm(screen_grads, axis=-1)
+        # on-device densification stats (gaussian_model.py:566-569).
+        # The CUDA rasterizer's backward accumulates dL/d(mean2D) in NDC
+        # units (diff-gaussian-rasterization backward.cu: ddelx_dx = 0.5*W),
+        # and densify_grad_threshold=0.0002 is calibrated for that scale.
+        # Our screen_offset is in PIXELS, so rescale by (W/2, H/2) — without
+        # this the stat is ~W/2 x too small and densification never fires
+        # (round-2 quality run: alive grew only 20k->46k, fit stuck at
+        # 16.5 dB).
+        ndc_scale = jnp.asarray(
+            [0.5 * self.template_cam.width, 0.5 * self.template_cam.height])
+        gnorm = jnp.linalg.norm(screen_grads * ndc_scale, axis=-1)
         stats = {
             "grad_accum": stats["grad_accum"] + jnp.where(visible, gnorm, 0.0),
             "denom": stats["denom"] + visible.astype(jnp.float32),
