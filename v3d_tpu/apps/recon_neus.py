@@ -16,8 +16,17 @@ import numpy as np
 
 
 def foreground_masks(frames: np.ndarray, threshold: float = 0.95) -> np.ndarray:
-    """White-background matting fallback (the reference runs rembg per frame,
-    mesh_recon/datasets/v3d.py:159-161; V3D outputs have white bg)."""
+    """Per-frame matting (the reference runs rembg per frame,
+    mesh_recon/datasets/v3d.py:159-161).  Uses the flax U2Net port when its
+    weights are on disk; falls back to a near-white threshold (V3D outputs
+    have white bg)."""
+    from v3d_tpu.data.preprocess import default_remove_bg
+
+    matte = default_remove_bg()
+    if matte is not None:
+        masks = [matte((f * 255).astype(np.uint8))[..., 3] / 255.0
+                 for f in frames]
+        return np.stack(masks).astype(np.float32)
     bg = np.all(frames > threshold, axis=-1)
     return (~bg).astype(np.float32)
 

@@ -585,3 +585,38 @@ def convert_resunet(state_dict: Dict) -> Dict:
             _set(tree, ("out_conv", leaf), tr(t)); continue
         raise KeyError(f"unrecognized ResUNet key: {key}")
     return {"params": tree}
+
+
+def convert_u2net(state_dict: Dict) -> Dict:
+    """torch U2NET/U2NETP state dict (xuebinqin/U-2-Net naming, the model
+    inside rembg's u2net.onnx) -> flax U2Net params (models/u2net.py).
+
+    Layout: ``stageN[d].rebnconvM[d].{conv_s1,bn_s1}.*``, ``sideN.*``,
+    ``outconv.*``.  BatchNorm running statistics become plain params
+    (bn_mean/bn_var) — the flax module applies them as an eval-mode affine.
+    """
+    bn_leaf = {"weight": "bn_scale", "bias": "bn_bias",
+               "running_mean": "bn_mean", "running_var": "bn_var"}
+    tree: Dict = {}
+    for key, t in state_dict.items():
+        parts = key.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        if parts[0].startswith("side") or parts[0] == "outconv":
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            tr = _conv2_w if parts[1] == "weight" else t2j
+            _set(tree, (parts[0], leaf), tr(t))
+            continue
+        if parts[0].startswith("stage") and len(parts) == 4:
+            stage, block, sub, leaf = parts
+            if sub == "conv_s1":
+                tr = _conv2_w if leaf == "weight" else t2j
+                _set(tree, (stage, block, "conv",
+                            "kernel" if leaf == "weight" else "bias"), tr(t))
+            elif sub == "bn_s1":
+                _set(tree, (stage, block, bn_leaf[leaf]), t2j(t))
+            else:
+                raise KeyError(f"unrecognized U2Net key: {key}")
+            continue
+        raise KeyError(f"unrecognized U2Net key: {key}")
+    return {"params": tree}

@@ -65,6 +65,27 @@ def luminance_matte(image: np.ndarray, threshold: int = 250) -> np.ndarray:
     return np.concatenate([rgb.astype(np.uint8), alpha[..., None]], axis=-1)
 
 
+_DEFAULT_MATTE: list = []  # lazy singleton: [callable-or-None]
+
+
+def default_remove_bg() -> Optional[Callable]:
+    """The production matting callable: the flax U2Net port (rembg's model,
+    models/u2net.py) when its weights are on disk, else None (callers fall
+    back to the luminance matte, loudly)."""
+    if not _DEFAULT_MATTE:
+        from v3d_tpu.models.u2net import load_u2net
+
+        fn = load_u2net()
+        if fn is None:
+            import sys
+
+            print("[preprocess] no U2Net weights found (ckpts/u2net*.pth or "
+                  "$V3D_U2NET_CKPT): background removal falls back to a "
+                  "near-white luminance matte", file=sys.stderr)
+        _DEFAULT_MATTE.append(fn)
+    return _DEFAULT_MATTE[0]
+
+
 def preprocess_image(image: np.ndarray, border_ratio: float = 0.3,
                      resolution: int = 512,
                      remove_bg: Optional[Callable] = None,
@@ -76,7 +97,8 @@ def preprocess_image(image: np.ndarray, border_ratio: float = 0.3,
     image = np.asarray(image)
     if border_ratio > 0:
         if image.shape[-1] != 4 or ignore_alpha:
-            rgba = (remove_bg or luminance_matte)(image[..., :3])
+            matte = remove_bg or default_remove_bg() or luminance_matte
+            rgba = matte(image[..., :3])
         else:
             rgba = image
         mask = rgba[..., -1] > 0
