@@ -327,3 +327,79 @@ def test_analytic_fwd_grad_matches_analytic():
     gl = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(gl))
+
+
+def test_contract_to_unisphere():
+    """Inside the unit ball the contraction is affine; outside it lands in
+    the [1,2) shell -> everything maps into [0,1]^3 (geometry.py:123)."""
+    from v3d_tpu.nerf.fields import contract_to_unisphere
+
+    pts = jnp.asarray([[0.0, 0, 0], [0.5, 0, 0], [10.0, 0, 0],
+                       [0, -1e4, 0], [3.0, 4.0, 0.0]])
+    c = contract_to_unisphere(pts, radius=1.0)
+    assert np.all((np.asarray(c) >= 0) & (np.asarray(c) <= 1))
+    np.testing.assert_allclose(np.asarray(c[0]), [0.5, 0.5, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c[1]), [0.625, 0.5, 0.5], atol=1e-6)
+    # far points approach the shell boundary at 2/4 + 0.5 = 1.0
+    assert float(c[2, 0]) > 0.97
+
+
+def test_bg_renderer_constant_density():
+    """Uniform density + constant color: opacity follows the analytic
+    1 - exp(-sigma * (far - near)) and rgb composites toward the color."""
+    from v3d_tpu.nerf.renderer import BgRenderer
+
+    bg = BgRenderer(radius=1.0, num_samples=128, near_plane=0.1,
+                    far_plane=50.0)
+    rays_o = jnp.asarray([[0.0, 0, -3.0], [0.0, 0, -3.0]])
+    rays_d = jnp.asarray([[0.0, 0, 1.0], [0.0, 1.0, 0.0]])
+    sigma = 0.1
+
+    def density_fn(p):
+        return jnp.full(p.shape[0], sigma), jnp.zeros((p.shape[0], 13))
+
+    def rgb_fn(f, d):
+        return jnp.full((f.shape[0], 3), 0.7)
+
+    out = bg(rays_o, rays_d, density_fn, rgb_fn,
+             background_color=jnp.zeros(3))
+    # ray 0 exits the fg AABB at z=+1 -> t_start=4; marches 4 -> 50
+    expected = 1.0 - np.exp(-sigma * (50.0 - 4.0))
+    np.testing.assert_allclose(float(out.opacity[0]), expected, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.comp_rgb[0]),
+                               0.7 * expected, rtol=2e-2)
+    assert out.weights.shape == (2, 128)
+    assert np.all(np.asarray(out.midpoints) > 0)
+
+
+def test_neus_learned_background_trains():
+    """VERDICT item 8: a white-background scene trains with the bg field on
+    (neus.py:193-270 forward_bg_ / out_full compositing)."""
+    res, n_views = 20, 3
+    poses = get_uniform_poses(n_views, 2.0, 0.0, opengl=True)
+    dirs = get_ray_directions(res, res, res / (2 * np.tan(np.deg2rad(30))))
+    yy, xx = np.mgrid[0:res, 0:res]
+    mask = ((yy - res / 2) ** 2 + (xx - res / 2) ** 2 < (res / 5) ** 2)
+    # dark object on WHITE background -> the bg field must learn white
+    images = np.where(mask[None, :, :, None],
+                      0.2, 1.0).astype(np.float32)
+    images = np.tile(images, (1, 1, 1, 3))
+    fg = np.repeat(mask[None], n_views, 0).astype(np.float32)
+    cfg = NeusConfig(num_samples_per_ray=48, train_num_rays=96,
+                     max_train_num_rays=96, dynamic_ray_sampling=False,
+                     lambda_normal=0.0, lambda_3d_normal_smooth=0.0,
+                     geometry_encoding="frequency", grad_type="analytic",
+                     geo_neurons=32, geo_hidden_layers=2,
+                     use_occ_lookup=False, max_steps=50,
+                     learned_background=True, num_samples_per_ray_bg=32,
+                     lambda_distortion_bg=0.01)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg)
+    assert "geometry_bg" in trainer.params and "texture_bg" in trainer.params
+    losses = [trainer.train_iter()["loss"] for _ in range(50)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    # full-frame validation render includes the bg compositing path
+    rgb, opac, depth = trainer.render_image(np.asarray(poses[0]))
+    assert rgb.shape == (res, res, 3) and np.isfinite(rgb).all()
+    # background pixels (corners) should be brighter than the dark object
+    assert rgb[0, 0].mean() > 0.4

@@ -201,6 +201,66 @@ class VolumeRadiance(nn.Module):
         return jax.nn.sigmoid(rgb)
 
 
+def contract_to_unisphere(x: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """Unbounded-sphere contraction (nerfacc ContractionType.UN_BOUNDED_SPHERE,
+    used by the reference's background geometry, geometry.py:123): scale by
+    1/radius, map ||x|| > 1 to the [1, 2) shell via (2 - 1/||x||) * x/||x||
+    (MipNeRF-360), then normalize the radius-2 ball to [0, 1]^3."""
+    x = x / radius
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+    contracted = jnp.where(norm <= 1.0, x, (2.0 - 1.0 / norm) * x / norm)
+    return contracted / 4.0 + 0.5
+
+
+def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """Exponential with clamped input — the ``trunc_exp`` density activation
+    of the reference stack (networks emit unbounded logits; exp overflows
+    f32 past ~88)."""
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
+
+
+class VolumeDensity(nn.Module):
+    """Background NeRF geometry (geometry.py:116-140 'volume-density'):
+    contracted position -> encoding -> MLP -> (density, feature).  TPU
+    recipe: gather-free frequency encoding instead of a hash grid."""
+
+    radius: float = 1.0
+    feature_dim: int = 13
+    n_frequencies: int = 6
+    n_neurons: int = 64
+    n_hidden_layers: int = 2
+    density_bias: float = -1.0
+
+    @nn.compact
+    def __call__(self, points_world):
+        x = contract_to_unisphere(points_world, self.radius)
+        enc = VanillaFrequency(self.n_frequencies)(x)
+        inp = composite_with_xyz(x, enc)
+        out = VanillaMLP(self.feature_dim, self.n_neurons,
+                         self.n_hidden_layers, sphere_init=False,
+                         weight_norm=False, name="network")(inp)
+        density = trunc_exp(out[..., 0] + self.density_bias)
+        return density, out
+
+
+class VolumeRadianceBg(nn.Module):
+    """Background texture (texture.py VolumeRadiance with view directions
+    instead of normals): [feature ‖ freq(dir)] -> MLP -> sigmoid RGB."""
+
+    n_neurons: int = 64
+    n_hidden_layers: int = 2
+    n_dir_frequencies: int = 4
+
+    @nn.compact
+    def __call__(self, features, dirs):
+        dir_enc = VanillaFrequency(self.n_dir_frequencies)(dirs * 0.5 + 0.5)
+        inp = jnp.concatenate([features, dir_enc], axis=-1)
+        rgb = VanillaMLP(3, self.n_neurons, self.n_hidden_layers,
+                         sphere_init=False, weight_norm=False,
+                         name="network")(inp)
+        return jax.nn.sigmoid(rgb)
+
+
 class VarianceNetwork(nn.Module):
     """neus.py:24-46: single learnable s with inv_s = exp(10 * s)."""
 

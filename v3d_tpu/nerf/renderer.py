@@ -58,6 +58,75 @@ def neus_alpha(sdf: jnp.ndarray, normal: jnp.ndarray, dirs: jnp.ndarray,
     return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
 
 
+class BgRenderResult(NamedTuple):
+    comp_rgb: jnp.ndarray      # (R, 3)
+    opacity: jnp.ndarray       # (R,)
+    depth: jnp.ndarray         # (R,)
+    weights: jnp.ndarray       # (R, S)
+    midpoints: jnp.ndarray     # (R, S)
+    intervals: jnp.ndarray     # (R, S)
+
+
+@dataclasses.dataclass(frozen=True)
+class BgRenderer:
+    """Learned-background NeRF pass (neus.py:193-270 forward_bg_).
+
+    TPU-native recast of the nerfacc cone-angle marching: each ray carries a
+    fixed grid of ``num_samples`` LOG-spaced t values from its start plane to
+    ``far_plane`` (log spacing == the reference's exponentially growing
+    dt = t * cone_angle steps, as a static shape).  The start plane is the
+    ray's exit from the foreground AABB (``t_start``) — or ``near_plane``
+    where the ray misses it — exactly the reference's near-plane selection
+    (neus.py:206-208)."""
+
+    radius: float = 1.0
+    num_samples: int = 64
+    near_plane: float = 0.1
+    far_plane: float = 1e3
+
+    def __call__(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                 density_feature_fn: Callable, rgb_fn: Callable,
+                 background_color: Optional[jnp.ndarray] = None,
+                 t_start: Optional[jnp.ndarray] = None,
+                 rng: Optional[jax.Array] = None) -> BgRenderResult:
+        """density_feature_fn(points (N,3)) -> (density (N,), feature (N,F));
+        rgb_fn(feature, dirs) -> (N, 3)."""
+        R = rays_o.shape[0]
+        S = self.num_samples
+        if t_start is None:
+            _, t_far = ray_aabb_intersect(rays_o, rays_d, self.radius)
+            t_start = t_far
+        near = jnp.clip(t_start, self.near_plane, self.far_plane * 0.5)
+        s = jnp.arange(S + 1, dtype=jnp.float32) / S  # (S+1,) in [0, 1]
+        if rng is not None:
+            jitter = jax.random.uniform(rng, (R, 1)) / S
+            s = jnp.clip(s[None, :] + jitter, 0.0, 1.0)
+        else:
+            s = jnp.broadcast_to(s[None, :], (R, S + 1))
+        t_edges = near[:, None] * (self.far_plane / near)[:, None] ** s
+        t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])          # (R, S)
+        intervals = t_edges[:, 1:] - t_edges[:, :-1]              # (R, S)
+
+        positions = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        density, feature = density_feature_fn(positions.reshape(-1, 3))
+        density = density.reshape(R, S)
+        alpha = 1.0 - jnp.exp(-density * intervals)
+        t_excl = jnp.cumprod(
+            jnp.concatenate([jnp.ones((R, 1)), 1.0 - alpha[:, :-1]], axis=1),
+            axis=1)
+        weights = alpha * t_excl
+
+        dirs = jnp.broadcast_to(rays_d[:, None, :], positions.shape)
+        rgb = rgb_fn(feature, dirs.reshape(-1, 3)).reshape(R, S, 3)
+        comp_rgb = jnp.sum(weights[..., None] * rgb, axis=1)
+        opacity = jnp.sum(weights, axis=1)
+        depth = jnp.sum(weights * t_mid, axis=1)
+        if background_color is not None:
+            comp_rgb = comp_rgb + (1.0 - opacity)[:, None] * background_color[None]
+        return BgRenderResult(comp_rgb, opacity, depth, weights, t_mid,
+                              intervals)
+
+
 class RenderResult(NamedTuple):
     comp_rgb: jnp.ndarray      # (R, 3)
     opacity: jnp.ndarray       # (R,)

@@ -22,9 +22,10 @@ import numpy as np
 import optax
 
 from v3d_tpu.nerf.encoding import progressive_fd_eps, progressive_level_mask
-from v3d_tpu.nerf.fields import VarianceNetwork, VolumeRadiance, VolumeSDF
+from v3d_tpu.nerf.fields import (VarianceNetwork, VolumeDensity,
+                                 VolumeRadiance, VolumeRadianceBg, VolumeSDF)
 from v3d_tpu.nerf.occupancy import OccupancyGrid
-from v3d_tpu.nerf.renderer import NeusRenderer
+from v3d_tpu.nerf.renderer import BgRenderer, NeusRenderer
 
 
 @dataclasses.dataclass
@@ -44,6 +45,13 @@ class NeusConfig:
                                   # on TPU (1M-row gathers; alpha from the
                                   # SDF already kills empty-space samples)
     variance_init: float = 0.3
+    # learned background (neus.py:70-84,193-270; configs ship it off —
+    # capability parity for non-white-background scenes)
+    learned_background: bool = False
+    num_samples_per_ray_bg: int = 64
+    near_plane_bg: float = 0.1
+    far_plane_bg: float = 1e3
+    lambda_distortion_bg: float = 0.0
     # geometry field (reference: hashgrid+FD; TPU-fast: frequency+analytic —
     # XLA TPU gathers make hashgrid lookups the bottleneck)
     geometry_encoding: str = "hashgrid"
@@ -140,6 +148,12 @@ class NeusTrainer:
                                      ray_chunk=cfg.ray_chunk)
         self.occ = OccupancyGrid(radius=cfg.radius,
                                  occ_threshold=cfg.grid_prune_occ_thre)
+        if cfg.learned_background:
+            self.geometry_bg = VolumeDensity(radius=cfg.radius)
+            self.texture_bg = VolumeRadianceBg()
+            self.bg_renderer = BgRenderer(
+                radius=cfg.radius, num_samples=cfg.num_samples_per_ray_bg,
+                near_plane=cfg.near_plane_bg, far_plane=cfg.far_plane_bg)
 
         self.images = jnp.asarray(images, jnp.float32)
         self.fg_masks = jnp.asarray(fg_masks, jnp.float32)
@@ -160,18 +174,29 @@ class NeusTrainer:
             "texture": self.texture.init(r2, jnp.zeros((8, 13)), jnp.zeros((8, 3))),
             "variance": self.variance.init(r3),
         }
+        if cfg.learned_background:
+            rb1, rb2, self.rng = jax.random.split(self.rng, 3)
+            self.params["geometry_bg"] = self.geometry_bg.init(rb1, pts)
+            self.params["texture_bg"] = self.texture_bg.init(
+                rb2, jnp.zeros((8, 13)), jnp.zeros((8, 3)))
 
         schedule = self._make_schedule()
-        self.opt = optax.multi_transform(
-            {
-                "geometry": optax.adamw(lambda s: cfg.lr_geometry * schedule(s),
-                                        b1=0.9, b2=0.99, eps=1e-15),
-                "texture": optax.adamw(lambda s: cfg.lr * schedule(s),
-                                       b1=0.9, b2=0.99, eps=1e-15),
-                "variance": optax.adamw(lambda s: cfg.lr_variance * schedule(s),
-                                        b1=0.9, b2=0.99, eps=1e-15),
-            },
-            {"geometry": "geometry", "texture": "texture", "variance": "variance"})
+        transforms = {
+            "geometry": optax.adamw(lambda s: cfg.lr_geometry * schedule(s),
+                                    b1=0.9, b2=0.99, eps=1e-15),
+            "texture": optax.adamw(lambda s: cfg.lr * schedule(s),
+                                   b1=0.9, b2=0.99, eps=1e-15),
+            "variance": optax.adamw(lambda s: cfg.lr_variance * schedule(s),
+                                    b1=0.9, b2=0.99, eps=1e-15),
+        }
+        if cfg.learned_background:
+            # bg fields train at the texture lr (instant-nsr-pl convention)
+            transforms["geometry_bg"] = optax.adamw(
+                lambda s: cfg.lr * schedule(s), b1=0.9, b2=0.99, eps=1e-15)
+            transforms["texture_bg"] = optax.adamw(
+                lambda s: cfg.lr * schedule(s), b1=0.9, b2=0.99, eps=1e-15)
+        self.opt = optax.multi_transform(transforms,
+                                         {k: k for k in transforms})
         self.opt_state = self.opt.init(self.params)
         self.global_step = 0
         self.train_num_rays = cfg.train_num_rays
@@ -255,7 +280,10 @@ class NeusTrainer:
         rays_o, rays_d, rgb_gt, fg, normal_gt, view_w = self._sample_batch(
             rng_batch, num_rays)
         bg = jnp.zeros(3) if cfg.background_color == "black" else jnp.ones(3)
-        rgb_gt = rgb_gt * fg[:, None] + bg[None] * (1 - fg[:, None])
+        if not cfg.learned_background:
+            # constant-background training composites GT onto bg; with a
+            # learned bg the raw pixels ARE the target (neus.py:385-397)
+            rgb_gt = rgb_gt * fg[:, None] + bg[None] * (1 - fg[:, None])
 
         def loss_fn(params):
             inv_s = jnp.clip(self.variance.apply(params["variance"]), 1e-6, 1e6)
@@ -273,16 +301,35 @@ class NeusTrainer:
             def rgb_fn(feat, nrm):
                 return self.texture.apply(params["texture"], feat, nrm)
 
+            rng_fg, rng_bg = jax.random.split(rng_render)
             out = self.renderer(
                 rays_o, rays_d, sdf_grad_feat, rgb_fn, inv_s,
                 cos_anneal_ratio=cos_ratio,
                 occupancy_binary=binary if cfg.use_occ_lookup else None,
-                background_color=bg, rng=rng_render)
+                background_color=None if cfg.learned_background else bg,
+                rng=rng_fg)
+
+            if cfg.learned_background:
+                # bg NeRF behind the SDF: full = fg + bg * (1 - fg opacity)
+                # (neus.py:391-395 out_full)
+                out_bg = self.bg_renderer(
+                    rays_o, rays_d,
+                    lambda p: self.geometry_bg.apply(params["geometry_bg"], p),
+                    lambda f, d: self.texture_bg.apply(
+                        params["texture_bg"], f, d),
+                    background_color=bg, rng=rng_bg)
+                comp_rgb = (out.comp_rgb
+                            + out_bg.comp_rgb * (1.0 - out.opacity)[:, None])
+                rays_valid = out.rays_valid | (out_bg.opacity > 0)
+            else:
+                out_bg = None
+                comp_rgb = out.comp_rgb
+                rays_valid = out.rays_valid
 
             losses = {}
             # rgb (mse on valid rays, neus_videonvs.py:200-213)
-            rgb_mask = out.rays_valid & (fg >= 0)  # rgb_mask==all here
-            err = jnp.sum((out.comp_rgb - rgb_gt) ** 2, axis=-1) * view_w
+            rgb_mask = rays_valid & (fg >= 0)  # rgb_mask==all here
+            err = jnp.sum((comp_rgb - rgb_gt) ** 2, axis=-1) * view_w
             losses["rgb_mse"] = ranking_loss(err, 1.0, rgb_mask) * cfg.lambda_rgb_mse
             # normal cosine loss weighted by exp(|cos(view, gt_normal)|)
             if self.normals is not None and cfg.lambda_normal > 0:
@@ -330,6 +377,11 @@ class NeusTrainer:
             if cfg.lambda_distortion > 0:
                 losses["distortion"] = distortion_loss(
                     out.weights, out.midpoints, out.intervals) * cfg.lambda_distortion
+            # bg distortion (lambda_distortion_bg, videonvs.yaml:92)
+            if cfg.learned_background and cfg.lambda_distortion_bg > 0:
+                losses["distortion_bg"] = distortion_loss(
+                    out_bg.weights, out_bg.midpoints,
+                    out_bg.intervals) * cfg.lambda_distortion_bg
 
             total = sum(losses.values())
             n_live = jnp.sum(out.sample_mask)
@@ -491,11 +543,23 @@ class NeusTrainer:
             def rgb_fn(feat, nrm):
                 return self.texture.apply(self.params["texture"], feat, nrm)
 
-            out = self.renderer(ro, rd, sdf_grad_feat, rgb_fn, inv_s,
-                                cos_anneal_ratio=self.cos_anneal_ratio(),
-                                occupancy_binary=self.occ.binary,
-                                background_color=bg)
-            outs.append((np.asarray(out.comp_rgb), np.asarray(out.opacity),
+            out = self.renderer(
+                ro, rd, sdf_grad_feat, rgb_fn, inv_s,
+                cos_anneal_ratio=self.cos_anneal_ratio(),
+                occupancy_binary=self.occ.binary,
+                background_color=None if self.cfg.learned_background else bg)
+            comp_rgb = out.comp_rgb
+            if self.cfg.learned_background:
+                out_bg = self.bg_renderer(
+                    ro, rd,
+                    lambda p: self.geometry_bg.apply(
+                        self.params["geometry_bg"], p),
+                    lambda f, d: self.texture_bg.apply(
+                        self.params["texture_bg"], f, d),
+                    background_color=bg)
+                comp_rgb = (comp_rgb
+                            + out_bg.comp_rgb * (1.0 - out.opacity)[:, None])
+            outs.append((np.asarray(comp_rgb), np.asarray(out.opacity),
                          np.asarray(out.depth)))
         rgb = np.concatenate([o[0] for o in outs]).reshape(self.h, self.w, 3)
         opac = np.concatenate([o[1] for o in outs]).reshape(self.h, self.w)
