@@ -1,0 +1,72 @@
+"""Integration tests for the scene-recon entry points (VERDICT r2 item 7):
+GS + pinhole NeuS on a fixture blender scene via apps/recon_scene, and the
+per-frame-intrinsics (directions.ndim == 4) NeusTrainer branch
+(mesh_recon/systems/neus_pinhole.py:89-94)."""
+
+import argparse
+import os
+
+import numpy as np
+
+from tests.test_scene_data import _write_blender_scene
+
+
+def _args(**kw):
+    base = dict(scene="", output="", format="blender", method="gs",
+                split="train", category="hydrant", sequence=None, reso=64,
+                num_frames=0, iterations=20, num_pts=256, init_radius=1.0,
+                lambda_dssim=0.2, kc=1024, rays=64, mc_resolution=24,
+                log_every=10, seed=0)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_recon_scene_gs(tmp_path):
+    from v3d_tpu.apps.recon_scene import load_scene, run_gs
+
+    _write_blender_scene(str(tmp_path / "scene"), n=4, res=32)
+    args = _args(scene=str(tmp_path / "scene"),
+                 output=str(tmp_path / "out"))
+    scene = load_scene(args)
+    trainer = run_gs(scene, args)
+    assert os.path.exists(tmp_path / "out" / "point_cloud.ply")
+    out = trainer.render_view(0)
+    assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_recon_scene_neus(tmp_path):
+    from v3d_tpu.apps.recon_scene import load_scene, run_neus
+
+    _write_blender_scene(str(tmp_path / "scene"), n=3, res=24)
+    args = _args(scene=str(tmp_path / "scene"),
+                 output=str(tmp_path / "out"), method="neus",
+                 iterations=10, rays=32, mc_resolution=16)
+    scene = load_scene(args)
+    trainer = run_neus(scene, args)
+    assert os.path.exists(tmp_path / "out" / "mesh.obj")
+    assert trainer.global_step == 10
+
+
+def test_neus_per_frame_directions():
+    """directions (N, H, W, 3): each ray uses its frame's intrinsics."""
+    from v3d_tpu.data.cameras import get_ray_directions, get_uniform_poses
+    from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
+
+    res, n = 16, 3
+    poses = get_uniform_poses(n, 2.0, 0.0, opengl=True)
+    # three different focal lengths -> genuinely per-frame directions
+    dirs = np.stack([get_ray_directions(res, res, f)
+                     for f in (10.0, 12.0, 14.0)])
+    images = np.full((n, res, res, 3), 0.5, np.float32)
+    fg = np.ones((n, res, res), np.float32)
+    cfg = NeusConfig(num_samples_per_ray=16, train_num_rays=32,
+                     max_train_num_rays=32, dynamic_ray_sampling=False,
+                     geometry_encoding="frequency", grad_type="analytic",
+                     geo_neurons=16, geo_hidden_layers=1,
+                     lambda_normal=0.0, lambda_3d_normal_smooth=0.0,
+                     use_occ_lookup=False, max_steps=5)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg)
+    losses = [trainer.train_iter()["loss"] for _ in range(5)]
+    assert np.isfinite(losses).all()
+    rgb, _, _ = trainer.render_image(poses[1], view_idx=1)
+    assert rgb.shape == (res, res, 3) and np.isfinite(rgb).all()

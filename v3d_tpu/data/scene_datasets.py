@@ -202,3 +202,36 @@ def load_dtu_scene(root: str, images_dir: str = "image",
         masks.append(m)
     return SceneFrames(np.stack(images), np.stack(poses), np.stack(Ks),
                        np.stack(masks), opengl=True)
+
+
+def load_co3d_scene(root: str, category: str, sequence: Optional[str] = None,
+                    subset: str = "fewview_train", reso: int = 256,
+                    num_frames: int = 0) -> SceneFrames:
+    """One CO3D sequence as a posed scene (the videonvs_co3d scene path,
+    mesh_recon/datasets/videonvs_co3d.py:212 + sgm/data/co3d.py frame
+    machinery): box-cropped square frames, per-frame K, fg masks, OpenGL
+    c2ws.  ``sequence=None`` picks the first sequence of the category."""
+    from v3d_tpu.data.co3d import Co3dDataset
+
+    ds = Co3dDataset(root, category=category, subset=subset, reso=reso,
+                     box_crop=True, load_pixelnerf=False, scale_pose=False)
+    seq = sequence or ds.seq_list[0]
+    idxs = ds.seq_to_frames[seq]
+    if num_frames:
+        idxs = [idxs[i] for i in
+                np.linspace(0, len(idxs) - 1, num_frames).astype(int)]
+    images, poses, Ks, masks = [], [], [], []
+    for i in idxs:
+        fr = ds._load_frame(ds.frames[i])
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = fr["R"]
+        w2c[:3, 3] = fr["t"]
+        c2w = np.linalg.inv(w2c)
+        c2w[:, 1:3] *= -1  # OpenCV -> OpenGL
+        images.append(fr["rgb"])
+        poses.append(c2w.astype(np.float32))
+        Ks.append(fr["K"].astype(np.float32))
+        masks.append(fr["fg"])
+    c2ws, _ = normalize_scene_poses(np.stack(poses), 1.5)
+    return SceneFrames(np.stack(images), c2ws, np.stack(Ks),
+                       np.stack(masks), opengl=True)

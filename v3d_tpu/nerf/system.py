@@ -44,6 +44,11 @@ class NeusConfig:
     use_occ_lookup: bool = True   # mask samples by the occupancy grid; off
                                   # on TPU (1M-row gathers; alpha from the
                                   # SDF already kills empty-space samples)
+    # >0: surface-guided coarse-to-fine sampling — the TPU empty-space
+    # skipping (renderer.sample_points_coarse_to_fine).  Probes this many
+    # sdf-only points per ray, then spends num_samples_per_ray inside the
+    # zero-crossing band.
+    coarse_to_fine_samples: int = 0
     variance_init: float = 0.3
     # learned background (neus.py:70-84,193-270; configs ship it off —
     # capability parity for non-white-background scenes)
@@ -127,7 +132,9 @@ class NeusTrainer:
                  view_weights: Optional[np.ndarray] = None,
                  config: NeusConfig = NeusConfig(), seed: int = 0):
         """images (N, H, W, 3) in [0,1]; fg_masks (N, H, W); directions
-        (H, W, 3) camera-space (shared intrinsics); c2ws (N, 4, 4) OpenGL.
+        (H, W, 3) camera-space (shared intrinsics) or (N, H, W, 3) for
+        per-frame intrinsics (the pinhole-scene recipe,
+        systems/neus_pinhole.py:89-94); c2ws (N, 4, 4) OpenGL.
         ``origins`` (H, W, 3): per-pixel camera-space ray origins for
         orthographic cameras (the Wonder3D ortho-neus system,
         systems/neus_ortho.py; None = pinhole).  ``view_weights`` (N,):
@@ -145,7 +152,8 @@ class NeusTrainer:
         self.variance = VarianceNetwork(init_val=cfg.variance_init)
         self.renderer = NeusRenderer(radius=cfg.radius,
                                      num_samples=cfg.num_samples_per_ray,
-                                     ray_chunk=cfg.ray_chunk)
+                                     ray_chunk=cfg.ray_chunk,
+                                     coarse_samples=cfg.coarse_to_fine_samples)
         self.occ = OccupancyGrid(radius=cfg.radius,
                                  occ_threshold=cfg.grid_prune_occ_thre)
         if cfg.learned_background:
@@ -255,7 +263,8 @@ class NeusTrainer:
         idx = jax.random.randint(r1, (num_rays,), 0, self.n_images)
         x = jax.random.randint(r2, (num_rays,), 0, self.w)
         y = jax.random.randint(r3, (num_rays,), 0, self.h)
-        dirs_cam = self.directions[y, x]
+        dirs_cam = (self.directions[idx, y, x] if self.directions.ndim == 4
+                    else self.directions[y, x])
         c2w = self.c2ws[idx]
         # d_world = R_c2w @ d_cam
         rays_d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs_cam)
@@ -307,7 +316,10 @@ class NeusTrainer:
                 cos_anneal_ratio=cos_ratio,
                 occupancy_binary=binary if cfg.use_occ_lookup else None,
                 background_color=None if cfg.learned_background else bg,
-                rng=rng_fg)
+                rng=rng_fg,
+                sdf_fn=lambda p: self.geometry.apply(
+                    params["geometry"], p, method="sdf",
+                    level_mask=level_mask))
 
             if cfg.learned_background:
                 # bg NeRF behind the SDF: full = fg + bg * (1 - fg opacity)
@@ -519,9 +531,15 @@ class NeusTrainer:
         return 1 << int(np.floor(np.log2(n)))
 
     # ------------------------------------------------------------------
-    def render_image(self, c2w: np.ndarray, chunk: int = 4096):
-        """Full-frame render for validation (neus_videonvs.py:340-400)."""
-        dirs = np.asarray(self.directions).reshape(-1, 3)
+    def render_image(self, c2w: np.ndarray, chunk: int = 4096,
+                     view_idx: int = 0):
+        """Full-frame render for validation (neus_videonvs.py:340-400).
+        ``view_idx`` selects the intrinsics when per-frame directions are
+        in use (pinhole scenes)."""
+        dirs = np.asarray(self.directions)
+        if dirs.ndim == 4:
+            dirs = dirs[view_idx]
+        dirs = dirs.reshape(-1, 3)
         c2w = jnp.asarray(c2w, jnp.float32)
         rays_d = dirs @ np.asarray(c2w[:3, :3]).T
         rays_d = rays_d / (np.linalg.norm(rays_d, axis=-1, keepdims=True) + 1e-12)
@@ -547,7 +565,10 @@ class NeusTrainer:
                 ro, rd, sdf_grad_feat, rgb_fn, inv_s,
                 cos_anneal_ratio=self.cos_anneal_ratio(),
                 occupancy_binary=self.occ.binary,
-                background_color=None if self.cfg.learned_background else bg)
+                background_color=None if self.cfg.learned_background else bg,
+                sdf_fn=lambda p: self.geometry.apply(
+                    self.params["geometry"], p, method="sdf",
+                    level_mask=level_mask))
             comp_rgb = out.comp_rgb
             if self.cfg.learned_background:
                 out_bg = self.bg_renderer(
