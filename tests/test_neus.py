@@ -403,3 +403,63 @@ def test_neus_learned_background_trains():
     assert rgb.shape == (res, res, 3) and np.isfinite(rgb).all()
     # background pixels (corners) should be brighter than the dark object
     assert rgb[0, 0].mean() > 0.4
+
+
+def test_coarse_to_fine_matches_uniform():
+    """Surface-guided coarse-to-fine sampling (the TPU empty-space skip,
+    VERDICT r2 item 4): same opacity/depth as uniform sampling on the
+    analytic sphere, with the fine budget concentrated near the surface."""
+    r_sphere = 0.5
+
+    def sdf_only(pts):
+        return jnp.linalg.norm(pts, axis=-1) - r_sphere
+
+    def sdf_grad_feat(pts):
+        norm = jnp.linalg.norm(pts, axis=-1)
+        return (norm - r_sphere, pts / (norm[:, None] + 1e-9),
+                jnp.zeros(pts.shape[:-1] + (13,)))
+
+    def rgb_fn(feat, nrm):
+        return jnp.ones(feat.shape[:-1] + (3,)) * 0.5
+
+    rays_o = jnp.asarray([[-2.0, 0, 0], [-2.0, 0.9, 0.0], [-2.0, 0.3, 0.1]])
+    rays_d = jnp.asarray([[1.0, 0, 0], [1.0, 0, 0], [1.0, 0, 0]])
+    uniform = NeusRenderer(radius=1.0, num_samples=256)
+    c2f = NeusRenderer(radius=1.0, num_samples=64, coarse_samples=32)
+    a = uniform(rays_o, rays_d, sdf_grad_feat, rgb_fn,
+                inv_s=jnp.asarray(200.0))
+    b = c2f(rays_o, rays_d, sdf_grad_feat, rgb_fn,
+            inv_s=jnp.asarray(200.0), sdf_fn=sdf_only)
+    np.testing.assert_allclose(np.asarray(b.opacity), np.asarray(a.opacity),
+                               atol=0.03)
+    # hit-ray depths agree even though c2f uses 4x fewer samples
+    for i in (0, 2):
+        da = float(a.depth[i] / max(float(a.opacity[i]), 1e-6))
+        db = float(b.depth[i] / max(float(b.opacity[i]), 1e-6))
+        assert abs(da - db) < 0.03, (i, da, db)
+    # the fine band actually tightened: ray 0's chord through the AABB is
+    # 2.0 long, the sphere's crossing band (with margins) ~1.4 — the c2f
+    # step must be well under the full-chord step chord/S
+    band = float(b.intervals[0, 0]) * 64
+    assert band < 0.8 * 2.0, band
+
+
+def test_neus_training_coarse_to_fine_smoke():
+    res, n_views = 20, 3
+    poses = get_uniform_poses(n_views, 2.0, 0.0, opengl=True)
+    dirs = get_ray_directions(res, res, res / (2 * np.tan(np.deg2rad(30))))
+    yy, xx = np.mgrid[0:res, 0:res]
+    mask = ((yy - res / 2) ** 2 + (xx - res / 2) ** 2 < (res / 5) ** 2)
+    images = np.tile(mask[None, :, :, None], (n_views, 1, 1, 3)).astype(np.float32)
+    fg = np.repeat(mask[None], n_views, 0).astype(np.float32)
+    cfg = NeusConfig(num_samples_per_ray=32, train_num_rays=96,
+                     max_train_num_rays=96, dynamic_ray_sampling=False,
+                     lambda_normal=0.0, lambda_3d_normal_smooth=0.0,
+                     geometry_encoding="frequency", grad_type="analytic",
+                     geo_neurons=32, geo_hidden_layers=2,
+                     use_occ_lookup=False, max_steps=40,
+                     coarse_to_fine_samples=16)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg)
+    losses = [trainer.train_iter()["loss"] for _ in range(40)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])

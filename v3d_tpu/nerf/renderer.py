@@ -148,6 +148,14 @@ class NeusRenderer:
     ray_chunk: int = 0   # >0: evaluate rays in lax.map chunks of this size
                          # (videonvs.yaml ray_chunk; bounds activation peaks
                          # of rays*samples*(1+6 FD) field evaluations)
+    # >0: surface-guided coarse-to-fine sampling — the TPU recast of
+    # nerfacc's occupancy-grid empty-space skipping (neus.py:272-351).
+    # A cheap sdf-only probe pass at this many points finds the zero-
+    # crossing band per ray; the full num_samples budget is then laid
+    # inside the tightened [t_lo, t_hi] instead of the whole AABB chord.
+    # Static shapes, no gathers, no host round trips.
+    coarse_samples: int = 0
+    coarse_margin: float = 2.0   # band padding in coarse-step units
 
     @property
     def step_size(self) -> float:
@@ -168,16 +176,66 @@ class NeusRenderer:
         t_mid = t_start + jitter * self.step_size
         in_range = (t_mid < t_far[:, None]) & (t_far > t_near)[:, None]
         positions = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
-        return positions, t_mid, in_range
+        dists = jnp.full((R, self.num_samples), self.step_size, jnp.float32)
+        return positions, t_mid, in_range, dists
+
+    def sample_points_coarse_to_fine(self, rays_o, rays_d, sdf_fn,
+                                     rng: Optional[jax.Array] = None):
+        """Probe ``coarse_samples`` sdf values per ray, find the band
+        containing sign changes (the surface), and spend the fine budget
+        there.  Rays with no crossing keep the full chord (early training /
+        grazing rays).  Sample placement is stop_gradient'd — the reference
+        marches under torch.no_grad() too (neus.py:286-297)."""
+        R = rays_o.shape[0]
+        Sc = self.coarse_samples
+        t_near, t_far = ray_aabb_intersect(rays_o, rays_d, self.radius)
+        valid_ray = t_far > t_near
+        chord = jnp.maximum(t_far - t_near, 1e-6)
+        sc = (jnp.arange(Sc, dtype=jnp.float32) + 0.5) / Sc
+        tc = t_near[:, None] + sc[None, :] * chord[:, None]       # (R, Sc)
+        pc = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
+        sdf_c = sdf_fn(pc.reshape(-1, 3)).reshape(R, Sc)
+        # outside-range probes read as "far outside the surface"
+        sdf_c = jnp.where(valid_ray[:, None], sdf_c, 1e3)
+        cross = (sdf_c[:, :-1] * sdf_c[:, 1:]) <= 0.0             # (R, Sc-1)
+        any_cross = jnp.any(cross, axis=1)
+        ar = jnp.arange(Sc - 1, dtype=jnp.float32)
+        first = jnp.argmax(cross, axis=1).astype(jnp.float32)
+        last = (Sc - 2) - jnp.argmax(cross[:, ::-1], axis=1).astype(jnp.float32)
+        pad = self.coarse_margin / Sc
+        lo = jnp.clip(first / Sc - pad, 0.0, 1.0)
+        hi = jnp.clip((last + 2.0) / Sc + pad, 0.0, 1.0)
+        lo = jnp.where(any_cross, lo, 0.0)
+        hi = jnp.where(any_cross, hi, 1.0)
+        t_lo = jax.lax.stop_gradient(t_near + lo * chord)
+        t_hi = jax.lax.stop_gradient(t_near + hi * chord)
+        del ar
+
+        S = self.num_samples
+        step = (t_hi - t_lo) / S                                   # (R,)
+        s = jnp.arange(S, dtype=jnp.float32)
+        if rng is not None:
+            jitter = jax.random.uniform(rng, (R, S))
+        else:
+            jitter = 0.5
+        t_mid = t_lo[:, None] + (s[None, :] + jitter) * step[:, None]
+        in_range = valid_ray[:, None] & jnp.broadcast_to(
+            jnp.ones((1, S), bool), (R, S))
+        positions = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        dists = jnp.broadcast_to(step[:, None], (R, S))
+        return positions, t_mid, in_range, dists
 
     def __call__(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                  sdf_grad_feature_fn: Callable, rgb_fn: Callable,
                  inv_s: jnp.ndarray, cos_anneal_ratio: float = 1.0,
                  occupancy_binary: Optional[jnp.ndarray] = None,
                  background_color: Optional[jnp.ndarray] = None,
-                 rng: Optional[jax.Array] = None) -> RenderResult:
+                 rng: Optional[jax.Array] = None,
+                 sdf_fn: Optional[Callable] = None) -> RenderResult:
         """sdf_grad_feature_fn(points (N,3)) -> (sdf (N,), grad (N,3),
-        feature (N,F)); rgb_fn(feature, normal) -> (N, 3)."""
+        feature (N,F)); rgb_fn(feature, normal) -> (N, 3); sdf_fn
+        (points (N,3)) -> (N,) is the cheap probe used by the coarse-to-fine
+        path (required when ``coarse_samples > 0``)."""
         R = rays_o.shape[0]
         if self.ray_chunk and R > self.ray_chunk and R % self.ray_chunk == 0:
             n_chunks = R // self.ray_chunk
@@ -190,7 +248,8 @@ class NeusRenderer:
                 return sub(ro, rd, sdf_grad_feature_fn, rgb_fn, inv_s,
                            cos_anneal_ratio, occupancy_binary,
                            background_color,
-                           key if rng is not None else None)
+                           key if rng is not None else None,
+                           sdf_fn=sdf_fn)
 
             out = jax.lax.map(one_chunk, (
                 rays_o.reshape(n_chunks, self.ray_chunk, 3),
@@ -198,7 +257,13 @@ class NeusRenderer:
                 rngs))
             return RenderResult(*[x.reshape((R,) + x.shape[2:]) for x in out])
         S = self.num_samples
-        positions, t_mid, mask = self.sample_points(rays_o, rays_d, rng)
+        if self.coarse_samples > 0:
+            assert sdf_fn is not None, "coarse_samples needs sdf_fn"
+            positions, t_mid, mask, dists = self.sample_points_coarse_to_fine(
+                rays_o, rays_d, sdf_fn, rng)
+        else:
+            positions, t_mid, mask, dists = self.sample_points(
+                rays_o, rays_d, rng)
         if occupancy_binary is not None:
             occ = grid_lookup(occupancy_binary, positions, self.radius)
             mask = mask & occ
@@ -209,7 +274,6 @@ class NeusRenderer:
         grad = grad.reshape(R, S, 3)
         normal = _safe_normalize(grad)
 
-        dists = jnp.full((R, S), self.step_size, jnp.float32)
         alpha = neus_alpha(sdf, normal, rays_d[:, None, :], dists, inv_s,
                            cos_anneal_ratio)
         alpha = jnp.where(mask, alpha, 0.0)
