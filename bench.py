@@ -246,7 +246,21 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=None,
                     help="denoise steps for --mesh runs (default: 25 on "
                          "TPU, 3 functional CPU)")
+    ap.add_argument("--quality", action="store_true",
+                    help="also run the recon quality gate at the reference "
+                         "operating point (512^2, GS 4000 iters, NeuS 3000 "
+                         "steps) and write quality_refpoint.json")
     cli = ap.parse_args()
+    if cli.quality:
+        import subprocess
+
+        rc = subprocess.call([
+            sys.executable, "benchmarks/quality_bench.py", "--res", "512",
+            "--gs-iters", "4000", "--neus-steps", "3000",
+            "--tag", "refpoint"],
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if rc != 0:
+            sys.exit(rc)
     if cli.mesh is not None:
         spec = dict(kv.split("=") for kv in cli.mesh.split(","))
         n = int(spec.pop("data"))

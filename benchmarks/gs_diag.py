@@ -126,6 +126,19 @@ def run(args):
             jnp.asarray(cam.camera_center), None, jnp.ones(3))
         hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
 
+    if args.dump_png:
+        from PIL import Image
+
+        for k, i in [(0, train_ids[0])]:
+            im = np.clip(np.asarray(trainer.render_view(k).image), 0, 1)
+            Image.fromarray((im * 255).astype(np.uint8)).save(
+                os.path.join(_repo, "benchmarks", "results",
+                             f"gs_diag_{args.tag}_render.png"))
+            Image.fromarray((np.clip(imgs[i], 0, 1) * 255).astype(
+                np.uint8)).save(
+                os.path.join(_repo, "benchmarks", "results",
+                             f"gs_diag_{args.tag}_gt.png"))
+
     result = {
         "args": {k: v for k, v in vars(args).items()},
         "holdout_psnr": round(float(np.mean(hold_psnrs)), 2),
@@ -165,6 +178,7 @@ def main():
     ap.add_argument("--grad-threshold", type=float, default=0.0002)
     ap.add_argument("--log-every", type=int, default=200)
     ap.add_argument("--tag", default="")
+    ap.add_argument("--dump-png", action="store_true")
     args = ap.parse_args()
     run(args)
 

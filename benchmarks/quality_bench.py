@@ -135,12 +135,42 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
                         densify_until_iter=min(iters, 15_000),
                         opacity_reset_interval=10**9, lambda_opacity=0.0,
                         max_per_tile=k, max_per_coarse=kc)
+    # radius here is the reference's randn*radius/16 init spread, where
+    # radius is the CAMERA ORBIT radius (dataset_readers.py:481: the
+    # VideoNVS orbit at 2.0 -> sigma 0.125).  Round 2 passed 0.7 ("object
+    # radius"), cramming the init into a sigma-0.044 blob that cannot
+    # migrate out to the object in 4000 iters — a major cause of the
+    # 16.5 dB underfit (512^2 with 0.7: 11.5 dB; with 2.0: see
+    # quality_r3*.json).
     trainer = GSTrainer(cams_train, cfg, num_pts=20_000, capacity=60_000,
-                        seed=0, radius=0.7)
+                        seed=0, radius=2.0)
+
+    import time as _time
+
+    from v3d_tpu.gs.losses import ssim as gs_ssim
+
+    traj = []
+    probe_cam = Camera.from_c2w(poses_cv[hold_ids[0]], 60.0, res, res)
+    t_start = _time.time()
 
     def log_fn(stats):
-        print(f"iter {stats['iter']} loss {float(stats['loss']):.4f} "
-              f"alive {int(np.asarray(trainer.alive).sum())}", flush=True)
+        import jax.numpy as jnp
+
+        out = trainer._render(
+            trainer.params, trainer.alive,
+            jnp.asarray(probe_cam.world_view_transform),
+            jnp.asarray(probe_cam.full_proj_transform),
+            jnp.asarray(probe_cam.camera_center), None, jnp.ones(3))
+        img = np.clip(np.asarray(out.image), 0, 1)
+        row = {"iter": int(stats["iter"]),
+               "loss": round(float(stats["loss"]), 4),
+               "alive": int(np.asarray(trainer.alive).sum()),
+               "holdout_psnr": round(psnr(img, imgs[hold_ids[0]]), 2),
+               "holdout_ssim": round(float(gs_ssim(
+                   jnp.asarray(img), jnp.asarray(imgs[hold_ids[0]]))), 4),
+               "t": round(_time.time() - t_start, 1)}
+        traj.append(row)
+        print(json.dumps(row), flush=True)
 
     trainer.train(iters, log_every=500, log_fn=log_fn)
 
@@ -159,7 +189,9 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
             jnp.asarray(cam.camera_center), None, jnp.ones(3))
         hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
     return {"gs_iters": iters, "gs_train_psnr_db": round(float(train_psnr), 2),
-            "gs_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2)}
+            "gs_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2),
+            "gs_wall_s": round(_time.time() - t_start, 1),
+            "gs_traj": traj}
 
 
 def bench_neus(res: int, steps: int):
@@ -192,14 +224,37 @@ def bench_neus(res: int, steps: int):
         background_color="white")
     trainer = NeusTrainer(imgs[train_ids], masks[train_ids], dirs,
                           poses_gl[train_ids], config=cfg, seed=0)
-    trainer.train(steps)
+    import time as _time
+
+    from v3d_tpu.gs.losses import ssim as gs_ssim
+    import jax.numpy as jnp
+
+    traj = []
+    t_start = _time.time()
+    probe_every = max(500, steps // 6)
+    done = 0
+    while done < steps:
+        n = min(probe_every, steps - done)
+        stats = trainer.train(n)
+        done += n
+        rgb, _, _ = trainer.render_image(poses_gl[hold_ids[0]])
+        rgb = np.clip(rgb, 0, 1)
+        row = {"step": done, "loss": round(float(stats["loss"]), 4),
+               "holdout_psnr": round(psnr(rgb, imgs[hold_ids[0]]), 2),
+               "holdout_ssim": round(float(gs_ssim(
+                   jnp.asarray(rgb), jnp.asarray(imgs[hold_ids[0]]))), 4),
+               "t": round(_time.time() - t_start, 1)}
+        traj.append(row)
+        print(json.dumps(row), flush=True)
 
     hold_psnrs = []
     for i in hold_ids:
         rgb, _, _ = trainer.render_image(poses_gl[i])
         hold_psnrs.append(psnr(np.clip(rgb, 0, 1), imgs[i]))
     return {"neus_steps": steps,
-            "neus_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2)}
+            "neus_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2),
+            "neus_wall_s": round(_time.time() - t_start, 1),
+            "neus_traj": traj}
 
 
 def main():

@@ -117,7 +117,11 @@ def densify_and_prune(g_np: Dict[str, np.ndarray], state: DensifyState,
         g_np["scaling"][take] = np.log(np.exp(g_np["scaling"][src]) / (0.8 * n_split))
         alive[take] = True
         new_slots[take] = True
-    alive[split_idx] = False  # prune split sources
+    # prune only split sources whose children were placed — at capacity
+    # saturation, pruning every candidate deletes the highest-gradient
+    # gaussians without replacement (see densify_and_prune_jnp)
+    placed_src = split_idx[np.arange(len(split_idx)) * n_split < len(take)]
+    alive[placed_src] = False
 
     # prune: low opacity or huge screen/world size (gaussian_model.py:548-563)
     # NOTE: the reference prunes on the POST-densification values
@@ -259,10 +263,15 @@ def densify_and_prune_jnp(params, alive, grad_accum, denom, max_radii,
     new_alive = alive
     new_alive = new_alive.at[clone_dest].set(True, mode="drop")
     new_alive = new_alive.at[split_dest].set(True, mode="drop")
-    # prune split sources (only those whose children were actually placed —
-    # matches the host path, which always prunes candidates; when out of
-    # capacity the host also prunes, so mirror that: prune ALL candidates)
-    new_alive = jnp.where(split_mask, False, new_alive)
+    # prune ONLY split sources whose children were actually placed.  At
+    # capacity saturation n_children < n_split_src * n_split; pruning every
+    # candidate would delete the highest-gradient gaussians WITHOUT
+    # replacement (measured in the round-3 512^2 run: alive pinned at the
+    # cap while the fit degraded each densify event).  The reference never
+    # hits this case — its tensors grow unbounded.
+    src_rank = jnp.cumsum(split_mask) - 1
+    children_placed = split_mask & (src_rank * n_split < n_children)
+    new_alive = jnp.where(children_placed, False, new_alive)
 
     # prune: low opacity / huge gaussians
     opacity_new = jax.nn.sigmoid(new_params["opacity"][:, 0])
