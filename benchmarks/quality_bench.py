@@ -109,7 +109,8 @@ def psnr(a, b):
     return 10 * np.log10(1.0 / max(mse, 1e-12))
 
 
-def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
+def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
+             num_pts: int = 100_000, capacity: int = 300_000):
     from v3d_tpu.data.cameras import Camera, get_uniform_poses
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
@@ -142,7 +143,13 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
     # migrate out to the object in 4000 iters — a major cause of the
     # 16.5 dB underfit (512^2 with 0.7: 11.5 dB; with 2.0: see
     # quality_r3*.json).
-    trainer = GSTrainer(cams_train, cfg, num_pts=20_000, capacity=60_000,
+    # num_pts=100_000 is the reference operating point
+    # (dataset_readers.py:455 constructVideoNVSInfo num_pts).  Round 2/3
+    # benched 20k pts with a 60k cap: densification saturated the cap within
+    # ~400 iters of densify_from and the fit stalled (alive pinned at 51k,
+    # 11.5-14.2 dB).  The reference grows its tensors unbounded; 3x the
+    # init count covers the growth seen over a 4000-iter fit.
+    trainer = GSTrainer(cams_train, cfg, num_pts=num_pts, capacity=capacity,
                         seed=0, radius=2.0)
 
     import time as _time
@@ -188,7 +195,9 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 4096):
             jnp.asarray(cam.full_proj_transform),
             jnp.asarray(cam.camera_center), None, jnp.ones(3))
         hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
-    return {"gs_iters": iters, "gs_train_psnr_db": round(float(train_psnr), 2),
+    return {"gs_iters": iters, "gs_num_pts": num_pts, "gs_capacity": capacity,
+            "gs_k": k, "gs_kc": kc,
+            "gs_train_psnr_db": round(float(train_psnr), 2),
             "gs_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2),
             "gs_wall_s": round(_time.time() - t_start, 1),
             "gs_traj": traj}
@@ -262,7 +271,9 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--gs-iters", type=int, default=2000)
     ap.add_argument("--gs-k", type=int, default=1024)
-    ap.add_argument("--gs-kc", type=int, default=4096)
+    ap.add_argument("--gs-kc", type=int, default=16384)
+    ap.add_argument("--gs-pts", type=int, default=100_000)
+    ap.add_argument("--gs-cap", type=int, default=300_000)
     ap.add_argument("--neus-steps", type=int, default=1000)
     ap.add_argument("--skip-gs", action="store_true")
     ap.add_argument("--skip-neus", action="store_true")
@@ -271,7 +282,8 @@ def main():
     out = {"res": args.res}
     if not args.skip_gs:
         out.update(bench_gs(args.res, args.gs_iters, k=args.gs_k,
-                            kc=args.gs_kc))
+                            kc=args.gs_kc, num_pts=args.gs_pts,
+                            capacity=args.gs_cap))
         print(json.dumps(out), flush=True)
     if not args.skip_neus:
         out.update(bench_neus(args.res, args.neus_steps))

@@ -145,6 +145,7 @@ def test_train_chunk_matches_per_iter():
     assert t1.step_count == t2.step_count
 
 
+@pytest.mark.slow
 def test_train_handles_event_boundaries():
     """train() fires densify/reset at exact multiples, same as the per-iter
     loop (smoke: final alive counts match)."""

@@ -372,6 +372,7 @@ def test_bg_renderer_constant_density():
     assert np.all(np.asarray(out.midpoints) > 0)
 
 
+@pytest.mark.slow
 def test_neus_learned_background_trains():
     """VERDICT item 8: a white-background scene trains with the bg field on
     (neus.py:193-270 forward_bg_ / out_full compositing)."""

@@ -7,6 +7,7 @@ import argparse
 import os
 
 import numpy as np
+import pytest
 
 from tests.test_scene_data import _write_blender_scene
 
@@ -34,6 +35,7 @@ def test_recon_scene_gs(tmp_path):
     assert np.isfinite(np.asarray(out.image)).all()
 
 
+@pytest.mark.slow
 def test_recon_scene_neus(tmp_path):
     from v3d_tpu.apps.recon_scene import load_scene, run_neus
 
@@ -47,6 +49,7 @@ def test_recon_scene_neus(tmp_path):
     assert trainer.global_step == 10
 
 
+@pytest.mark.slow
 def test_neus_per_frame_directions():
     """directions (N, H, W, 3): each ray uses its frame's intrinsics."""
     from v3d_tpu.data.cameras import get_ray_directions, get_uniform_poses

@@ -52,6 +52,7 @@ def test_u2net_forward_parity(small):
         np.testing.assert_allclose(np.asarray(o), rn, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_u2net_odd_size_ceil_pooling():
     """ceil_mode pooling: odd spatial sizes must round-trip without shape
     errors and match torch."""
