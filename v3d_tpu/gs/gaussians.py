@@ -80,7 +80,10 @@ def build_covariance3d(g: GaussianParams, scaling_modifier: float = 1.0) -> jnp.
     S = get_scaling(g) * scaling_modifier
     R = build_rotation(g.rotation)
     M = R * S[:, None, :]  # R @ diag(S)
-    return M @ M.transpose(0, 2, 1)
+    # f32 precision: default TPU matmul runs at bf16 (~0.4% rel err), which
+    # perturbs the 2D conic enough to blur sub-pixel gaussian placement
+    with jax.default_matmul_precision("float32"):
+        return M @ M.transpose(0, 2, 1)
 
 
 def from_pcd(points: np.ndarray, colors: np.ndarray, sh_degree: int = 0,

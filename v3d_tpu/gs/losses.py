@@ -53,9 +53,15 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, size: int = 11,
     ww = jnp.asarray(_band_matrix(w, size, sigma))
 
     stack = jnp.stack([img1, img2, img1 * img1, img2 * img2, img1 * img2])
-    # (5, N, H, W, C): filter H then W with one dot each
-    y = jnp.einsum("ih,snhwc->sniwc", wh, stack)
-    f = jnp.einsum("jw,sniwc->snijc", ww, y)
+    # (5, N, H, W, C): filter H then W with one dot each.
+    # HIGHEST precision is load-bearing: TPU (and this XLA CPU build) run f32
+    # matmuls at bf16 precision by default (~4e-3 abs error at O(1) values),
+    # and the variance terms below are catastrophic cancellations
+    # (m11 - mu1^2 ~ 1e-4 in flat regions) — at default precision the SSIM
+    # map is noise, can exceed 1, and training losses go NEGATIVE.
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("ih,snhwc->sniwc", wh, stack, precision=hp)
+    f = jnp.einsum("jw,sniwc->snijc", ww, y, precision=hp)
     mu1, mu2, m11, m22, m12 = f[0], f[1], f[2], f[3], f[4]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     s1 = m11 - mu1_sq

@@ -71,8 +71,13 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
     xyz = g.xyz
     ones = jnp.ones_like(xyz[:, :1])
     p_hom = jnp.concatenate([xyz, ones], axis=-1)
-    p_view = p_hom @ wvt                      # (N, 4)
-    p_clip = p_hom @ fpt
+    # f32 precision is load-bearing: TPU matmuls default to bf16 precision
+    # (~0.4% rel err), which jitters means2d by ~1 px at 512^2 — gaussians
+    # then cannot localize below that and fits stall in the low teens dB
+    # (observed: 128^2 fits fine at the same relative error = 0.25 px).
+    hp = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(p_hom, wvt, precision=hp)   # (N, 4)
+    p_clip = jnp.matmul(p_hom, fpt, precision=hp)
     p_w = 1.0 / (p_clip[:, 3] + 1e-7)
     ndc = p_clip[:, :3] * p_w[:, None]
     means2d = jnp.stack([
@@ -99,8 +104,9 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
     ], axis=-2)                                # (N, 2, 3)
     R_w2c = wvt[:3, :3].T                      # (3,3)
     Sigma = build_covariance3d(g, scaling_modifier)   # (N, 3, 3)
-    M = J @ R_w2c                              # (N, 2, 3)
-    cov2d = M @ Sigma @ M.transpose(0, 2, 1)   # (N, 2, 2)
+    M = jnp.matmul(J, R_w2c, precision=hp)     # (N, 2, 3)
+    cov2d = jnp.matmul(jnp.matmul(M, Sigma, precision=hp),
+                       M.transpose(0, 2, 1), precision=hp)  # (N, 2, 2)
     c00 = cov2d[:, 0, 0] + 0.3
     c01 = cov2d[:, 0, 1]
     c11 = cov2d[:, 1, 1] + 0.3
@@ -268,11 +274,12 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
             live = T_excl >= 1e-4                           # CUDA stop criterion
             w = alpha * T_excl * live                       # (C, P, D)
 
+            hp = jax.lax.Precision.HIGHEST
             rgb = rgb + jnp.einsum("cpk,ckj->cpj", w, jnp.broadcast_to(
-                col, (C,) + col.shape[1:]))
+                col, (C,) + col.shape[1:]), precision=hp)
             acc = acc + jnp.sum(w, axis=-1)
             dep = dep + jnp.einsum("cpk,ck->cp", w, jnp.broadcast_to(
-                dpt, (C,) + dpt.shape[1:]))
+                dpt, (C,) + dpt.shape[1:]), precision=hp)
             T = T * T_local[..., -1]
             return (T, rgb, acc, dep), None
 
