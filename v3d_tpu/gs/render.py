@@ -26,6 +26,7 @@ near-plane z > 0.2.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -141,6 +142,12 @@ class RasterizeConfig:
     coarse_factor: int = 8        # coarse cell = coarse_factor^2 fine tiles
     max_per_coarse: int = 4096    # Kc: gaussians preselected per coarse cell
     force_coarse: bool = False    # exercise the coarse path even when N <= Kc
+    # compositor backend: "auto" picks the fused Pallas tile kernel on TPU
+    # (early-exit while_loop; see gs/pallas_raster.py) and the XLA lax.scan
+    # path elsewhere; "xla"/"pallas" force one.
+    backend: str = "auto"
+    pallas_interpret: bool = False   # run the Pallas kernel interpreted (CPU tests)
+    pallas_bwd: str = "pallas"       # "pallas" reverse kernel | "xla" recompute
 
 
 class RenderOutput(NamedTuple):
@@ -148,6 +155,166 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray   # (H, W)
     depth: jnp.ndarray   # (H, W)
     radii: jnp.ndarray   # (N,)
+
+
+def _composite_xla(slab_all: jnp.ndarray, cell_np: np.ndarray,
+                   xy_np: np.ndarray, D: int, tile_chunk: int):
+    """XLA streaming compositor: lax.scan over fixed-size depth chunks with
+    a running per-pixel transmittance — every slab gaussian is composited,
+    none truncated.  Chunk size D bounds the working set (C*P*D).
+
+    slab_all: (n_cells, K, 10) depth-sorted packed attrs (DEAD-padded).
+    cell_np/xy_np: static tile->cell map and tile origins.
+    Returns (rgb (n_tiles, P, 3), acc (n_tiles, P), dep (n_tiles, P)) — raw,
+    background NOT blended.
+    """
+    n_cells, Kq, _ = slab_all.shape
+    n_tiles = cell_np.shape[0]
+    P = TILE * TILE
+    DEAD = jnp.zeros((10,), jnp.float32)
+    pad_k = (-Kq) % D
+    if pad_k:
+        slab_all = jnp.concatenate([
+            slab_all,
+            jnp.broadcast_to(DEAD, (n_cells, pad_k, 10))], axis=1)
+    n_d = (Kq + pad_k) // D
+
+    cell_j = jnp.asarray(cell_np)
+    xy_j = jnp.asarray(xy_np, jnp.float32)
+
+    # pixel coordinates within a tile (TILE*TILE, 2) as (x, y)
+    py, px = jnp.mgrid[0:TILE, 0:TILE]
+    tile_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1).astype(jnp.float32)
+
+    def render_tiles(ids):
+        # ids: (C,) tile indices
+        C = ids.shape[0]
+        if n_cells > 1:
+            slab = slab_all[cell_j[ids]]               # (C, Kq+pad, 10)
+        else:
+            slab = slab_all                            # (1, Kq+pad, 10)
+        chunks = slab.reshape(slab.shape[0], n_d, D, 10).transpose(1, 0, 2, 3)
+
+        # pixel centers of this tile chunk: (C, P, 2)
+        pix = tile_pix[None] + xy_j[ids][:, None, :]
+
+        # checkpoint: without it the scan backward stores (C, P, D) residuals
+        # for every depth chunk (~1.5GB at 512^2 / Kc=16384); with it only
+        # the (C, P) carries persist and alpha recomputes in backward
+        @jax.checkpoint
+        def body(carry, ch):
+            # ch: (C or 1, D, 10) — broadcasting handles the shared-slab case
+            T, rgb, acc, dep = carry
+            m2 = ch[..., 0:2]
+            con = ch[..., 2:5]
+            col = ch[..., 5:8]
+            op = ch[..., 8]
+            dpt = ch[..., 9]
+            d = pix[:, :, None, :] - m2[:, None, :, :]      # (C, P, D, 2)
+            dx, dy = d[..., 0], d[..., 1]
+            power = (-0.5 * (con[:, None, :, 0] * dx * dx
+                             + con[:, None, :, 2] * dy * dy)
+                     - con[:, None, :, 1] * dx * dy)        # (C, P, D)
+            alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(power))
+            alpha = jnp.where((power <= 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
+
+            one_minus = 1.0 - alpha
+            T_local = jnp.cumprod(one_minus, axis=-1)
+            T_excl = T[..., None] * jnp.concatenate(
+                [jnp.ones_like(T_local[..., :1]), T_local[..., :-1]], axis=-1)
+            live = T_excl >= 1e-4                           # CUDA stop criterion
+            w = alpha * T_excl * live                       # (C, P, D)
+
+            hp = jax.lax.Precision.HIGHEST
+            rgb = rgb + jnp.einsum("cpk,ckj->cpj", w, jnp.broadcast_to(
+                col, (C,) + col.shape[1:]), precision=hp)
+            acc = acc + jnp.sum(w, axis=-1)
+            dep = dep + jnp.einsum("cpk,ck->cp", w, jnp.broadcast_to(
+                dpt, (C,) + dpt.shape[1:]), precision=hp)
+            T = T * T_local[..., -1]
+            return (T, rgb, acc, dep), None
+
+        init = (jnp.ones((C, P)), jnp.zeros((C, P, 3)), jnp.zeros((C, P)),
+                jnp.zeros((C, P)))
+        (T, rgb, acc, dep), _ = jax.lax.scan(body, init, chunks)
+        return rgb, acc, dep
+
+    render_tiles = jax.checkpoint(render_tiles)
+
+    C = tile_chunk
+    pad = (-n_tiles) % C
+    tile_ids = jnp.arange(n_tiles)
+    ids = jnp.concatenate([tile_ids, jnp.zeros((pad,), tile_ids.dtype)])
+    ids = ids.reshape(-1, C)
+    rgb, acc, dep = jax.lax.map(render_tiles, ids)
+    # (n_chunks, C, P, ...) -> (n_tiles, P, ...)
+    rgb = rgb.reshape(-1, P, 3)[:n_tiles]
+    acc = acc.reshape(-1, P)[:n_tiles]
+    dep = dep.reshape(-1, P)[:n_tiles]
+    return rgb, acc, dep
+
+
+@functools.lru_cache(maxsize=64)
+def _make_pallas_composite(cell_bytes: bytes, xy_bytes: bytes, n_tiles: int,
+                           n_cells: int, Kq: int, D: int, tile_chunk: int,
+                           interpret: bool, bwd: str = "pallas"):
+    """Build the custom-VJP Pallas compositor for a fixed tile layout.
+
+    Forward: the fused early-exit tile kernel (gs/pallas_raster.py).
+    Backward: the matching Pallas reverse-traversal kernel (default), or
+    ``bwd="xla"`` to recompute through the XLA streaming compositor
+    (identical math, autodiff'd) — the flash-attention convention
+    (ops/flash_attention.py:98-113) kept as a debug/AB path.
+    """
+    cell_np = np.frombuffer(cell_bytes, np.int32).copy()
+    xy_np = np.frombuffer(xy_bytes, np.int32).reshape(n_tiles, 2).copy()
+
+    from v3d_tpu.gs.pallas_raster import ATTR, P
+    from v3d_tpu.gs.pallas_raster import D as PD
+    from v3d_tpu.gs.pallas_raster import (composite_tiles_bwd,
+                                          composite_tiles_fwd)
+
+    kpad = (-Kq) % PD
+
+    def _to_attr_major(slab):
+        if kpad:
+            slab = jnp.concatenate([
+                slab, jnp.zeros((n_cells, kpad, 10), jnp.float32)], axis=1)
+        slab_am = jnp.transpose(slab, (0, 2, 1))            # (cells, 10, K)
+        return jnp.pad(slab_am, ((0, 0), (0, ATTR - 10), (0, 0)))
+
+    def _pallas_fwd(slab):
+        out = composite_tiles_fwd(_to_attr_major(slab), cell_np, xy_np,
+                                  interpret=interpret)
+        rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))       # (n_tiles, P, 3)
+        return rgb, out[:, 3, :], out[:, 4, :]
+
+    @jax.custom_vjp
+    def comp(slab):
+        return _pallas_fwd(slab)
+
+    def fwd_rule(slab):
+        return _pallas_fwd(slab), slab
+
+    def bwd_rule_xla(slab, g):
+        _, vjp = jax.vjp(
+            lambda s: _composite_xla(s, cell_np, xy_np, D, tile_chunk), slab)
+        return vjp(g)
+
+    def bwd_rule_pallas(slab, g):
+        g_rgb, g_acc, g_dep = g
+        g8 = jnp.concatenate([
+            jnp.transpose(g_rgb, (0, 2, 1)),
+            g_acc[:, None, :], g_dep[:, None, :],
+            jnp.zeros((n_tiles, 3, P), jnp.float32)], axis=1)
+        dslab_am = composite_tiles_bwd(_to_attr_major(slab), g8,
+                                       cell_np, xy_np, interpret=interpret)
+        dslab = jnp.transpose(dslab_am[:, :10, :], (0, 2, 1))[:, :Kq]
+        return (dslab,)
+
+    comp.defvjp(fwd_rule,
+                bwd_rule_pallas if bwd == "pallas" else bwd_rule_xla)
+    return comp
 
 
 def rasterize(proj: ProjectedGaussians, height: int, width: int,
@@ -167,7 +334,6 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
     n_ty = -(-height // TILE)
     n_tiles = n_tx * n_ty
 
-    tile_ids = jnp.arange(n_tiles)
     depth_masked = jnp.where(proj.valid, proj.depth, jnp.inf)
     # invalid gaussians (behind camera / degenerate cov / dead slot) must be
     # inert in the streaming compositor: zero opacity is enough
@@ -214,94 +380,32 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         slab_all = packed[order][None]                   # (1, N, 10)
         Kq = N
 
-    # streaming compositor: scan over fixed-size depth chunks with a running
-    # per-pixel transmittance — every slab gaussian is composited, none
-    # truncated.  Chunk size D bounds the working set (C*P*D).
+    # static tile raster layout (numpy — baked into the compiled program)
+    tx_np = np.arange(n_tiles) % n_tx
+    ty_np = np.arange(n_tiles) // n_tx
+    if use_coarse:
+        cell_np = ((ty_np // cf) * n_cx + tx_np // cf).astype(np.int32)
+    else:
+        cell_np = np.zeros(n_tiles, np.int32)
+    xy_np = np.stack([tx_np * TILE, ty_np * TILE], -1).astype(np.int32)
+
+    backend = config.backend
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
     D = max(1, min(config.max_per_tile, Kq))
-    pad_k = (-Kq) % D
-    if pad_k:
-        slab_all = jnp.concatenate([
-            slab_all,
-            jnp.broadcast_to(DEAD, (slab_all.shape[0], pad_k, 10))], axis=1)
-    n_d = (Kq + pad_k) // D
-
-    # pixel coordinates within a tile (TILE*TILE, 2) as (x, y)
-    py, px = jnp.mgrid[0:TILE, 0:TILE]
-    tile_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1).astype(jnp.float32)
-
-    def render_tiles(ids):
-        # ids: (C,) tile indices
-        tx = (ids % n_tx).astype(jnp.float32)
-        ty = (ids // n_tx).astype(jnp.float32)
-        x0 = tx * TILE
-        y0 = ty * TILE
-        C = ids.shape[0]
-        P = TILE * TILE
-        if use_coarse:
-            cid = (ids // n_tx) // cf * n_cx + (ids % n_tx) // cf  # (C,)
-            slab = slab_all[cid]                       # (C, Kq+pad, 10)
-        else:
-            slab = slab_all                            # (1, Kq+pad, 10)
-        chunks = slab.reshape(slab.shape[0], n_d, D, 10).transpose(1, 0, 2, 3)
-
-        # pixel centers of this tile chunk: (C, P, 2)
-        pix = (tile_pix[None] + jnp.stack([x0, y0], axis=-1)[:, None, :])
-
-        # checkpoint: without it the scan backward stores (C, P, D) residuals
-        # for every depth chunk (~1.5GB at 512^2 / Kc=16384); with it only
-        # the (C, P) carries persist and alpha recomputes in backward
-        @jax.checkpoint
-        def body(carry, ch):
-            # ch: (C or 1, D, 10) — broadcasting handles the shared-slab case
-            T, rgb, acc, dep = carry
-            m2 = ch[..., 0:2]
-            con = ch[..., 2:5]
-            col = ch[..., 5:8]
-            op = ch[..., 8]
-            dpt = ch[..., 9]
-            d = pix[:, :, None, :] - m2[:, None, :, :]      # (C, P, D, 2)
-            dx, dy = d[..., 0], d[..., 1]
-            power = (-0.5 * (con[:, None, :, 0] * dx * dx
-                             + con[:, None, :, 2] * dy * dy)
-                     - con[:, None, :, 1] * dx * dy)        # (C, P, D)
-            alpha = jnp.minimum(0.99, op[:, None, :] * jnp.exp(power))
-            alpha = jnp.where((power <= 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
-
-            one_minus = 1.0 - alpha
-            T_local = jnp.cumprod(one_minus, axis=-1)
-            T_excl = T[..., None] * jnp.concatenate(
-                [jnp.ones_like(T_local[..., :1]), T_local[..., :-1]], axis=-1)
-            live = T_excl >= 1e-4                           # CUDA stop criterion
-            w = alpha * T_excl * live                       # (C, P, D)
-
-            hp = jax.lax.Precision.HIGHEST
-            rgb = rgb + jnp.einsum("cpk,ckj->cpj", w, jnp.broadcast_to(
-                col, (C,) + col.shape[1:]), precision=hp)
-            acc = acc + jnp.sum(w, axis=-1)
-            dep = dep + jnp.einsum("cpk,ck->cp", w, jnp.broadcast_to(
-                dpt, (C,) + dpt.shape[1:]), precision=hp)
-            T = T * T_local[..., -1]
-            return (T, rgb, acc, dep), None
-
-        init = (jnp.ones((C, P)), jnp.zeros((C, P, 3)), jnp.zeros((C, P)),
-                jnp.zeros((C, P)))
-        (T, rgb, acc, dep), _ = jax.lax.scan(body, init, chunks)
-        # telescoping: sum_i alpha_i T_i + T_final == 1 (also under the stop
-        # mask), so the background weight is exactly 1 - acc
-        rgb = rgb + (1.0 - acc)[..., None] * background[None, None, :]
-        return rgb, acc, dep
-
-    render_tiles = jax.checkpoint(render_tiles)
-
-    C = config.tile_chunk
-    pad = (-n_tiles) % C
-    ids = jnp.concatenate([tile_ids, jnp.zeros((pad,), tile_ids.dtype)])
-    ids = ids.reshape(-1, C)
-    rgb, acc, dep = jax.lax.map(render_tiles, ids)
-    # (n_chunks, C, P, ...) -> (n_tiles, P, ...)
-    rgb = rgb.reshape(-1, TILE * TILE, 3)[:n_tiles]
-    acc = acc.reshape(-1, TILE * TILE)[:n_tiles]
-    dep = dep.reshape(-1, TILE * TILE)[:n_tiles]
+    if backend == "pallas":
+        comp = _make_pallas_composite(
+            cell_np.tobytes(), xy_np.tobytes(), n_tiles,
+            slab_all.shape[0], slab_all.shape[1], D, config.tile_chunk,
+            config.pallas_interpret, config.pallas_bwd)
+        rgb, acc, dep = comp(slab_all)
+    else:
+        rgb, acc, dep = _composite_xla(slab_all, cell_np, xy_np, D,
+                                       config.tile_chunk)
+    # telescoping: sum_i alpha_i T_i + T_final == 1 (also under the stop
+    # mask), so the background weight is exactly 1 - acc
+    rgb = rgb + (1.0 - acc)[..., None] * background[None, None, :]
 
     def untile(x):
         c = x.shape[-1] if x.ndim == 3 else 1
