@@ -98,6 +98,7 @@ def main():
 
     timeit("binning_topk", lambda: np.asarray(binning(proj)[0, 0]), results)
 
+    imgs, grads = {}, {}
     for backend in args.backends.split(","):
         cfg = RasterizeConfig(max_per_tile=args.k, tile_chunk=32,
                               coarse_factor=cf, max_per_coarse=args.kc,
@@ -118,6 +119,25 @@ def main():
                lambda: np.asarray(lf(g.xyz)), results)
         timeit(f"fwd_bwd[{backend}]",
                lambda: np.asarray(gf(g.xyz)[0, 0]), results)
+
+        # numeric record: the 300k-cap XLA path once produced impossible
+        # losses — keep per-backend values + cross-backend diffs in the JSON
+        img = np.asarray(rast(proj).image)
+        imgs[backend] = img
+        grads[backend] = np.asarray(gf(g.xyz))
+        results[f"loss[{backend}]"] = float(np.asarray(lf(g.xyz)))
+        results[f"img_mean[{backend}]"] = float(img.mean())
+        results[f"img_minmax[{backend}]"] = [float(img.min()), float(img.max())]
+    names = list(imgs)
+    if len(names) == 2:
+        a, b = names
+        results["img_maxdiff"] = float(np.abs(imgs[a] - imgs[b]).max())
+        gd = np.abs(grads[a] - grads[b])
+        gref = np.abs(grads[a]).max() + 1e-12
+        results["grad_maxdiff_rel"] = float(gd.max() / gref)
+        print(f"img_maxdiff {results['img_maxdiff']:.5f} "
+              f"grad_maxdiff_rel {results['grad_maxdiff_rel']:.5f}",
+              flush=True)
 
     print(json.dumps(results), flush=True)
     if args.tag:

@@ -125,7 +125,19 @@ def from_pcd(points: np.ndarray, colors: np.ndarray, sh_degree: int = 0,
 def knn_mean_sq_dist(points: np.ndarray, k: int = 3,
                      chunk: int = 4096) -> np.ndarray:
     """Mean squared distance to the k nearest neighbors (excluding self) —
-    the simple-knn ``distCUDA2`` replacement (gaussian_model.py:20,142)."""
+    the simple-knn ``distCUDA2`` replacement (gaussian_model.py:20,142).
+
+    Uses a KD-tree when scipy is present (0.3 s at the reference's 100k
+    init points); the exact chunked pairwise path below is the fallback
+    (minutes at 100k — it was the hidden cost of every trainer init at the
+    reference operating point)."""
+    try:
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(points).query(points, k=k + 1, workers=-1)
+        return (d[:, 1:].astype(np.float32) ** 2).mean(1)
+    except ImportError:
+        pass
     n = points.shape[0]
     out = np.empty((n,), np.float32)
     pts = points.astype(np.float32)
