@@ -157,10 +157,42 @@ def test_corrupt_item_falls_back(archive):
     np.testing.assert_array_equal(item["frames"], ds[0]["frames"])
 
 
+def test_real_format_builds_training_cond(archive):
+    """Fast half of the end-to-end check: real-layout archive (latents mode)
+    -> collate -> engine.training_cond.  The train-step compile lives in the
+    slow-marked test below; the format plumbing is identical."""
+    import jax
+
+    from v3d_tpu.engines.builder import build_tiny_engine
+
+    ds = GObjaverse(archive, use_latents=True, seed=0)
+    batch = ds.collate_fn([ds[0]])
+    t = 8
+    for k, v in list(batch.items()):
+        if isinstance(v, np.ndarray) and v.shape[:1] == (N_VIEWS,):
+            batch[k] = v[:t]
+        elif isinstance(v, np.ndarray) and v.ndim >= 2 \
+                and v.shape[1] == N_VIEWS:
+            batch[k] = v[:, :t]
+    if "image_only_indicator" in batch:
+        batch["image_only_indicator"] = batch["image_only_indicator"][:, :t]
+    batch["latents"] = batch["latents"][:, :8, :8]
+    batch["cond_frames"] = batch["cond_frames"][..., :8, :8, :]
+    batch["cond_frames_without_noise"] = \
+        batch["cond_frames_without_noise"][..., :64]
+
+    engine = build_tiny_engine(num_frames=t, resolution=64)
+    cond = engine.training_cond(batch, num_frames=t)
+    for v in jax.tree_util.tree_leaves(cond):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.slow
 def test_real_format_feeds_training_step(archive):
     """End-to-end: the real-layout archive (latents mode) -> collate ->
     engine.training_cond -> one DiffusionTrainer step.  Closes the
-    'launcher has nothing real to train on' gap from round 1."""
+    'launcher has nothing real to train on' gap from round 1.  Slow: the
+    train-step compile alone is minutes on this single-CPU box."""
     import jax
     import jax.numpy as jnp
 
