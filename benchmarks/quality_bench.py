@@ -110,7 +110,8 @@ def psnr(a, b):
 
 
 def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
-             num_pts: int = 100_000, capacity: int = 300_000):
+             num_pts: int = 100_000, capacity: int = 300_000,
+             lambda_dssim: float = 0.2):
     from v3d_tpu.data.cameras import Camera, get_uniform_poses
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
@@ -135,6 +136,7 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
                         densification_interval=100,
                         densify_until_iter=min(iters, 15_000),
                         opacity_reset_interval=10**9, lambda_opacity=0.0,
+                        lambda_dssim=lambda_dssim,
                         max_per_tile=k, max_per_coarse=kc)
     # radius here is the reference's randn*radius/16 init spread, where
     # radius is the CAMERA ORBIT radius (dataset_readers.py:481: the
@@ -196,7 +198,7 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
             jnp.asarray(cam.camera_center), None, jnp.ones(3))
         hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
     return {"gs_iters": iters, "gs_num_pts": num_pts, "gs_capacity": capacity,
-            "gs_k": k, "gs_kc": kc,
+            "gs_k": k, "gs_kc": kc, "gs_lambda_dssim": lambda_dssim,
             "gs_train_psnr_db": round(float(train_psnr), 2),
             "gs_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2),
             "gs_wall_s": round(_time.time() - t_start, 1),
@@ -274,6 +276,9 @@ def main():
     ap.add_argument("--gs-kc", type=int, default=16384)
     ap.add_argument("--gs-pts", type=int, default=100_000)
     ap.add_argument("--gs-cap", type=int, default=300_000)
+    # the V3D recipe is --lambda_dssim 1.0 --lambda_lpips 2.0 (readme step 4);
+    # LPIPS weights are absent offline, so the 1.0 analog runs pure SSIM
+    ap.add_argument("--gs-dssim", type=float, default=0.2)
     ap.add_argument("--neus-steps", type=int, default=1000)
     ap.add_argument("--skip-gs", action="store_true")
     ap.add_argument("--skip-neus", action="store_true")
@@ -283,7 +288,8 @@ def main():
     if not args.skip_gs:
         out.update(bench_gs(args.res, args.gs_iters, k=args.gs_k,
                             kc=args.gs_kc, num_pts=args.gs_pts,
-                            capacity=args.gs_cap))
+                            capacity=args.gs_cap,
+                            lambda_dssim=args.gs_dssim))
         print(json.dumps(out), flush=True)
     if not args.skip_neus:
         out.update(bench_neus(args.res, args.neus_steps))
