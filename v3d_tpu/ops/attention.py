@@ -48,9 +48,12 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _pick_backend(q, k) -> str:
     # Measured on v5e (benchmarks/results/attention_sweep.json): at the
     # 1024-token spatial level the jax pallas flash kernel wins clearly
-    # (3.5 vs 6.3 ms at 36x1024x10x64); at 4096 tokens XLA's fused attention
-    # still wins (11.8 vs 14.6 ms), and tiny/cross shapes aren't worth a
-    # kernel launch.  "auto" picks flash only where it pays.
+    # (3.5 vs 6.3 ms at 36x1024x10x64).  At 4096 tokens XLA wins the
+    # MICRObench (11.8 vs 14.6 ms) but materializes the (36,5,4096,4096)
+    # f32 logits tensor — 12 GB, which the microbench can afford alone and
+    # the full bf16-resident 1.5B UNet cannot; flash's O(seq) working set
+    # is load-bearing there.  Tiny/cross shapes aren't worth a kernel
+    # launch.  "auto" picks flash where it pays or where XLA can't fit.
     b, sq, h, d = q.shape
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
