@@ -21,12 +21,27 @@ import jax
 import numpy as np
 
 
+# orbax refuses zero-size arrays (e.g. GS f_rest at sh_degree 0 is (N,0,3));
+# mask them with a 1-byte marker on save and graft the target's empties back
+# on restore — the pytree structure stays identical either way.
+_EMPTY_MARK = np.zeros((1,), np.int8)
+
+
+def _is_empty(x) -> bool:
+    return hasattr(x, "size") and hasattr(x, "shape") and x.size == 0
+
+
+def _mask_empty(tree: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: _EMPTY_MARK if _is_empty(x) else x, tree)
+
+
 def save_pytree(path: str, tree: Any) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree, force=True)
+    ckptr.save(path, _mask_empty(tree), force=True)
     ckptr.wait_until_finished()
 
 
@@ -36,8 +51,56 @@ def load_pytree(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
-        return ckptr.restore(path, target=target)
+        out = ckptr.restore(path, target=_mask_empty(target))
+        return jax.tree_util.tree_map(
+            lambda t, o: t if _is_empty(t) else o, target, out)
     return ckptr.restore(path)
+
+
+def latest_checkpoint(ckpt_dir: str, prefix: str = "step_") -> Optional[str]:
+    """Highest-step ``<ckpt_dir>/<prefix><N>`` orbax checkpoint, or None.
+
+    The elastic-recovery entry point (SURVEY §5 lists the reference as having
+    none; Lightning's --resume in mesh_recon/launch.py:127-131 is the closest
+    analog): a preempted run restarted with the same command line picks up
+    from the newest complete checkpoint.  Incomplete orbax saves (killed
+    mid-write) are excluded via their tmp-dir markers.
+    """
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best_step, best = -1, None
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith(prefix):
+            continue
+        try:
+            step = int(name[len(prefix):])
+        except ValueError:
+            continue
+        path = os.path.join(ckpt_dir, name)
+        # orbax finalizes atomically: in-progress saves live under a
+        # *.orbax-checkpoint-tmp-* name or carry no commit marker yet
+        if "orbax-checkpoint-tmp" in name or not os.path.isdir(path):
+            continue
+        if step > best_step:
+            best_step, best = step, path
+    return best
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int, prefix: str = "step_") -> None:
+    """Keep the ``keep`` newest step checkpoints, delete the rest."""
+    import shutil
+
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith(prefix) and "tmp" not in name:
+            try:
+                steps.append((int(name[len(prefix):]), name))
+            except ValueError:
+                pass
+    for _, name in sorted(steps)[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
 
 
 def load_torch_state_dict(path: str) -> Dict:

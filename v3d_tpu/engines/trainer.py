@@ -19,7 +19,12 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from v3d_tpu.core.checkpoint import save_pytree
+from v3d_tpu.core.checkpoint import (
+    latest_checkpoint,
+    load_pytree,
+    prune_checkpoints,
+    save_pytree,
+)
 from v3d_tpu.engines.ema import ema_init, ema_update
 from v3d_tpu.engines.lr_schedule import lambda_linear
 from v3d_tpu.parallel.mesh import DATA_AXIS, make_mesh
@@ -35,6 +40,7 @@ class TrainConfig:
     log_every: int = 100
     ckpt_every: int = 5000
     ckpt_dir: Optional[str] = None
+    keep_last: int = 3          # checkpoint retention (elastic recovery)
     grad_clip: Optional[float] = None
 
 
@@ -96,13 +102,29 @@ class DiffusionTrainer:
 
     def fit(self, data_iter: Iterator[Dict], rng: Optional[jax.Array] = None,
             max_steps: Optional[int] = None,
-            log_fn: Callable[[Dict], None] = print) -> None:
+            log_fn: Callable[[Dict], None] = print,
+            auto_resume: bool = True, prefetch: bool = False) -> None:
+        """Elastic training loop: per-step noise RNG is ``fold_in(base, step)``
+        (not a split chain), so a run restored at step N continues with
+        exactly the RNG stream the uninterrupted run would have used; with
+        ``auto_resume`` a restarted process picks up from the newest complete
+        checkpoint in ckpt_dir (the reference has no elastic story — SURVEY
+        §5; closest is Lightning --resume, mesh_recon/launch.py:127-131)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         max_steps = max_steps or self.cfg.max_steps
+        if auto_resume and self.cfg.ckpt_dir and self.step == 0:
+            self.resume_latest()
+        if prefetch:
+            # host assembly + device transfer overlap the running step
+            # (torch DataLoader workers + pin_memory analog)
+            from v3d_tpu.data.prefetch import device_prefetch
+
+            data_iter = device_prefetch(data_iter, put_fn=self.shard_batch)
         t0 = time.time()
         for batch in data_iter:
-            rng, sub = jax.random.split(rng)
-            batch = self.shard_batch(batch)
+            sub = jax.random.fold_in(rng, self.step)
+            if not prefetch:
+                batch = self.shard_batch(batch)
             stats = self.train_step(sub, batch["latents"], batch["cond"])
             if self.step % self.cfg.log_every == 0:
                 stats["steps_per_sec"] = self.cfg.log_every / (time.time() - t0)
@@ -110,6 +132,7 @@ class DiffusionTrainer:
                 log_fn(stats)
             if self.cfg.ckpt_dir and self.step % self.cfg.ckpt_every == 0:
                 self.save(f"{self.cfg.ckpt_dir}/step_{self.step}")
+                prune_checkpoints(self.cfg.ckpt_dir, self.cfg.keep_last)
             if self.step >= max_steps:
                 break
 
@@ -119,3 +142,28 @@ class DiffusionTrainer:
         if self.ema_params is not None:
             tree["ema_params"] = self.ema_params
         save_pytree(path, tree)
+
+    def restore(self, path: str) -> None:
+        """Load a `save` checkpoint back into device-replicated state."""
+        target = {"params": self.params, "opt_state": self.opt_state,
+                  "step": self.step}
+        if self.ema_params is not None:
+            target["ema_params"] = self.ema_params
+        tree = load_pytree(path, target)
+        repl = NamedSharding(self.mesh, P())
+        put = lambda t: jax.device_put(t, repl)
+        self.params = put(tree["params"])
+        self.opt_state = put(tree["opt_state"])
+        if self.ema_params is not None:
+            self.ema_params = put(tree["ema_params"])
+        self.step = int(tree["step"])
+
+    def resume_latest(self) -> bool:
+        """Restore the newest complete checkpoint in cfg.ckpt_dir, if any.
+        NOTE: the data iterator's position is the caller's to restore — pass
+        a stream that skips `trainer.step` batches (or is stateless/random)."""
+        path = latest_checkpoint(self.cfg.ckpt_dir) if self.cfg.ckpt_dir else None
+        if path is None:
+            return False
+        self.restore(path)
+        return True

@@ -421,3 +421,32 @@ class GSTrainer:
         out = {k: np.array(v) for k, v in self.params.items()}
         out["alive"] = np.array(self.alive)
         return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / elastic recovery (reference: gaussians.capture()/restore()
+    # tuples via torch.save, recon/train_from_vid.py:53-55,203-208 +
+    # gaussian_model.py:91-141)
+    def capture(self) -> Dict:
+        """Full resumable state as one pytree (params + Adam moments +
+        densification stats + alive mask + step).  Camera-sampling RNG is
+        not captured — the reference's torch.save capture doesn't either."""
+        return {"params": self.params, "opt_state": self.opt_state,
+                "stats": self.stats, "alive": self.alive,
+                "step": self.step_count}
+
+    def restore(self, tree: Dict) -> None:
+        self.params = {k: jnp.asarray(v) for k, v in tree["params"].items()}
+        self.opt_state = tree["opt_state"]
+        self.stats = {k: jnp.asarray(v) for k, v in tree["stats"].items()}
+        self.alive = jnp.asarray(tree["alive"])
+        self.step_count = int(tree["step"])
+
+    def save(self, path: str) -> None:
+        from v3d_tpu.core.checkpoint import save_pytree
+
+        save_pytree(path, self.capture())
+
+    def load(self, path: str) -> None:
+        from v3d_tpu.core.checkpoint import load_pytree
+
+        self.restore(load_pytree(path, target=self.capture()))

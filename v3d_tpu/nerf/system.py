@@ -587,6 +587,38 @@ class NeusTrainer:
         depth = np.concatenate([o[2] for o in outs]).reshape(self.h, self.w)
         return rgb, opac, depth
 
+    # ------------------------------------------------------------------
+    # checkpoint / elastic recovery (reference: Lightning ModelCheckpoint +
+    # --resume, mesh_recon/launch.py:93,127-131)
+    def capture(self) -> Dict:
+        """Full resumable state: fields + Adam moments + occupancy grid +
+        step + RNG key + adaptive ray count.  Unlike Lightning's ckpt this
+        includes the sampling RNG, so a restored run draws the same ray
+        batches the uninterrupted run would have."""
+        return {"params": self.params, "opt_state": self.opt_state,
+                "step": self.global_step, "rng": self.rng,
+                "occs": self.occ.occs, "binary": self.occ.binary,
+                "train_num_rays": self.train_num_rays}
+
+    def restore(self, tree: Dict) -> None:
+        self.params = tree["params"]
+        self.opt_state = tree["opt_state"]
+        self.global_step = int(tree["step"])
+        self.rng = jnp.asarray(tree["rng"])
+        self.occ.occs = jnp.asarray(tree["occs"])
+        self.occ.binary = jnp.asarray(tree["binary"])
+        self.train_num_rays = int(tree["train_num_rays"])
+
+    def save(self, path: str) -> None:
+        from v3d_tpu.core.checkpoint import save_pytree
+
+        save_pytree(path, self.capture())
+
+    def load(self, path: str) -> None:
+        from v3d_tpu.core.checkpoint import load_pytree
+
+        self.restore(load_pytree(path, target=self.capture()))
+
     def sdf_grid(self, resolution: int = 128, chunk: int = 262144) -> np.ndarray:
         """Dense SDF evaluation for marching-cubes export
         (geometry.py isosurface path)."""
