@@ -92,7 +92,8 @@ def main():
             cond = engine.training_cond(batch, num_frames=args.num_frames)
             yield {"latents": jnp.asarray(batch["latents"]), "cond": cond}
 
-    trainer.fit(batches(), log_fn=lambda s: logger.log(s, s.get("step")))
+    trainer.fit(batches(), log_fn=lambda s: logger.log(s, s.get("step")),
+                prefetch=True)
 
 
 if __name__ == "__main__":

@@ -141,7 +141,10 @@ def _blend_white_and_resize(png_path: str, reso: int) -> np.ndarray:
     (objaverse.py:152-163 + datamodule transform :814-821)."""
     from PIL import Image
 
-    img = Image.open(png_path)
+    from v3d_tpu.native.imgdec import decode_image
+
+    arr = decode_image(png_path)  # native decode (threaded C++), PIL fallback
+    img = Image.fromarray(arr, "RGBA") if arr is not None else Image.open(png_path)
     bg = Image.new("RGB", img.size, (255, 255, 255))
     if img.mode == "RGBA":
         bg.paste(img, mask=img.split()[3])

@@ -103,6 +103,23 @@ def video_collate(items: Sequence[Dict]) -> Dict:
     return out
 
 
+def _decode_orbit(pngs: Sequence[str]) -> np.ndarray:
+    """Decode an orbit's frames -> (t, h, w, 3) float32 in [0, 255].  Uses
+    the native threaded decoder (native/imgdec.cc) when available — the
+    torch-DataLoader-workers analog — and falls back to PIL."""
+    from v3d_tpu.native.imgdec import decode_batch, decode_image
+
+    first = decode_image(pngs[0])
+    if first is not None:
+        out = decode_batch(pngs, first.shape[:2])
+        if out is not None and out[1].all():
+            return out[0][..., :3].astype(np.float32)
+    from PIL import Image
+
+    return np.stack([
+        np.asarray(Image.open(p).convert("RGB"), np.float32) for p in pngs])
+
+
 class OrbitRenderDataset:
     """Directory-of-objects dataset:
 
@@ -136,13 +153,10 @@ class OrbitRenderDataset:
             lat = np.load(lat_path).astype(np.float32)
             return assemble_item(lat, self.cfg, self.rng, clip_emb,
                                  is_latent=True)
-        from PIL import Image
-
         pngs = sorted(glob.glob(os.path.join(obj, "*.png")))
-        frames = np.stack([
-            np.asarray(Image.open(p).convert("RGB"), np.float32) / 127.5 - 1.0
-            for p in pngs])
-        return assemble_item(frames, self.cfg, self.rng, clip_emb)
+        frames = _decode_orbit(pngs) / 127.5 - 1.0
+        return assemble_item(frames.astype(np.float32), self.cfg, self.rng,
+                             clip_emb)
 
     def __getitem__(self, idx: int) -> Dict:
         try:
