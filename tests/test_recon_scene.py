@@ -17,7 +17,10 @@ def _args(**kw):
                 split="train", category="hydrant", sequence=None, reso=64,
                 num_frames=0, iterations=20, num_pts=256, init_radius=1.0,
                 lambda_dssim=0.2, kc=1024, rays=64, mc_resolution=24,
-                log_every=10, seed=0)
+                log_every=10, seed=0,
+                # small raster slabs: the default 256/32 compile dominates
+                # this test's runtime on the CPU box
+                max_per_tile=32, tile_chunk=8)
     base.update(kw)
     return argparse.Namespace(**base)
 

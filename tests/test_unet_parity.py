@@ -95,11 +95,12 @@ def test_forward_parity(parity_setup):
             num_video_frames=t, image_only_indicator=torch.from_numpy(ind),
         ).numpy()
 
-    out_jax = jnet.apply(
-        params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts),
-        jnp.asarray(ctx), jnp.asarray(y), num_video_frames=t,
-        image_only_indicator=jnp.asarray(ind),
-    )
+    # jit: one whole-graph compile is ~2x faster than per-op eager dispatch
+    # on the CPU test box
+    apply = jax.jit(lambda p, *a: jnet.apply(
+        p, *a, num_video_frames=t, image_only_indicator=jnp.asarray(ind)))
+    out_jax = apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                    jnp.asarray(ts), jnp.asarray(ctx), jnp.asarray(y))
     out_jax = np.asarray(out_jax).transpose(0, 3, 1, 2)
 
     assert out_ref.shape == out_jax.shape
@@ -125,10 +126,10 @@ def test_forward_parity_image_only(parity_setup):
             context=torch.from_numpy(ctx), y=torch.from_numpy(y),
             num_video_frames=t, image_only_indicator=torch.from_numpy(ind),
         ).numpy()
-    out_jax = np.asarray(jnet.apply(
+    apply = jax.jit(lambda p, *a: jnet.apply(
+        p, *a, num_video_frames=t, image_only_indicator=jnp.asarray(ind)))
+    out_jax = np.asarray(apply(
         params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(ts),
-        jnp.asarray(ctx), jnp.asarray(y), num_video_frames=t,
-        image_only_indicator=jnp.asarray(ind),
-    )).transpose(0, 3, 1, 2)
+        jnp.asarray(ctx), jnp.asarray(y))).transpose(0, 3, 1, 2)
     denom = np.abs(out_ref).mean() + 1e-8
     assert np.abs(out_ref - out_jax).max() / denom < 1e-3

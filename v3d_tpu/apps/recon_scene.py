@@ -69,7 +69,9 @@ def run_gs(scene, args):
     cams = scene_cameras(scene)
     cfg = GSTrainConfig(iterations=args.iterations,
                         lambda_dssim=args.lambda_dssim,
-                        max_per_coarse=args.kc)
+                        max_per_coarse=args.kc,
+                        max_per_tile=getattr(args, "max_per_tile", 256),
+                        tile_chunk=getattr(args, "tile_chunk", 32))
     trainer = GSTrainer(cams, cfg, num_pts=args.num_pts, seed=args.seed,
                         radius=args.init_radius)
 
@@ -165,6 +167,9 @@ def main():
     p.add_argument("--init-radius", type=float, default=1.5)
     p.add_argument("--lambda-dssim", type=float, default=0.2)
     p.add_argument("--kc", type=int, default=4096)
+    p.add_argument("--max-per-tile", type=int, default=256,
+                   help="per-tile depth-slab size of the GS rasterizer")
+    p.add_argument("--tile-chunk", type=int, default=32)
     p.add_argument("--rays", type=int, default=256)
     p.add_argument("--mc-resolution", type=int, default=128)
     p.add_argument("--log-every", type=int, default=500)
