@@ -74,3 +74,17 @@ def test_split_and_convert_svd_checkpoint(tmp_path):
     assert n_enc == sum(p.numel() for p in enc.parameters())
     n_dec = sum(x.size for x in jax.tree_util.tree_leaves(params["decoder"]))
     assert n_dec == sum(p.numel() for p in dec.parameters())
+
+    # weights-day rehearsal: the first command of apps/validate_ckpt (split +
+    # convert + count-parity assertions) must run end-to-end on an svd-style
+    # checkpoint file
+    import sys as _sys
+
+    from v3d_tpu.apps import validate_ckpt
+
+    argv = _sys.argv
+    _sys.argv = ["validate_ckpt", "--ckpt", path]
+    try:
+        validate_ckpt.main()
+    finally:
+        _sys.argv = argv
