@@ -27,6 +27,24 @@ def test_flash_matches_xla(sq, sk, d):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_flash_bf16_matches_f32_reference():
+    """bf16 inputs take the single-MXU-pass path (dots in input dtype, f32
+    accumulate); result must track the f32 reference to bf16 tolerance."""
+    rs = np.random.RandomState(2)
+    bh, sq, d = 2, 256, 64
+    qf = rs.randn(bh, sq, d).astype(np.float32)
+    kf = rs.randn(bh, sq, d).astype(np.float32)
+    vf = rs.randn(bh, sq, d).astype(np.float32)
+    out = _run_interpret(jnp.asarray(qf, jnp.bfloat16),
+                         jnp.asarray(kf, jnp.bfloat16),
+                         jnp.asarray(vf, jnp.bfloat16), 128, 128)
+    assert out.dtype == jnp.bfloat16
+    ref = fa._xla_reference(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf))
+    err = np.abs(out.astype(np.float32) - np.asarray(ref)).max()
+    scale = np.abs(np.asarray(ref)).max()
+    assert err / scale < 0.03, err / scale
+
+
 def test_flash_wrapper_fallback_shapes():
     # odd sequence length -> falls back to xla silently
     q = jnp.ones((1, 100, 2, 32))

@@ -39,10 +39,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    # Feed the MXU in the INPUT dtype and accumulate f32: a bf16 input is
+    # one native MXU pass this way, while an astype-to-f32 up front forces
+    # the multi-pass f32 matmul AND a (16,128)->(8,128) retiling of every
+    # block — measured slower than f32 end-to-end (the round-2
+    # "bf16 slower than f32" anomaly, attention_sweep.json).  Scaling and
+    # softmax stay in f32.
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    scores = jnp.dot(q, k.T,
+                     preferred_element_type=jnp.float32) * sm_scale
 
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -51,7 +58,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     m_ref[:] = m_new
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(ki == n_k - 1)
     def _():
