@@ -42,7 +42,7 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
 
-    from v3d_tpu.ops.attention import xla_attention
+    from v3d_tpu.ops.attention import jax_flash_attention, xla_attention
     from v3d_tpu.ops.flash_attention import flash_attention
 
     results = {}
@@ -57,6 +57,11 @@ def main():
             t_x = bench(jax.jit(xla_attention), q, k, v, iters=args.iters)
             results["xla_" + key] = round(t_x * 1e3, 3)
             print(f"xla    {key}: {t_x*1e3:8.3f} ms", flush=True)
+            # the current production pick at 512-4096-token spatial levels
+            t_j = bench(jax.jit(jax_flash_attention), q, k, v,
+                        iters=args.iters)
+            results["flashjax_" + key] = round(t_j * 1e3, 3)
+            print(f"fljax  {key}: {t_j*1e3:8.3f} ms", flush=True)
             for (bq, bk) in BLOCKS:
                 if bk > s or bq > s:
                     continue
