@@ -41,26 +41,36 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             from v3d_tpu.ops.flash_attention import flash_attention
         except ImportError:
             return xla_attention(q, k, v)
-        return flash_attention(q, k, v)
+        # block sizes from attention_dtype_r3_dtype.json: bf16's single
+        # MXU pass affords the wide (512, 1024) blocks (908 vs 1056 rel
+        # units at 4096 tokens); f32's multi-pass matmul wants the smaller
+        # (256, 512) footprint (2794 vs 4556 for the wide blocks)
+        if q.dtype == jnp.bfloat16:
+            return flash_attention(q, k, v, block_q=512, block_k=1024)
+        return flash_attention(q, k, v, block_q=256, block_k=512)
     return xla_attention(q, k, v)
 
 
 def _pick_backend(q, k) -> str:
-    # Measured on v5e (benchmarks/results/attention_sweep.json): at the
-    # 1024-token spatial level the jax pallas flash kernel wins clearly
-    # (3.5 vs 6.3 ms at 36x1024x10x64).  At 4096 tokens XLA wins the
-    # MICRObench (11.8 vs 14.6 ms) but materializes the (36,5,4096,4096)
-    # f32 logits tensor — 12 GB, which the microbench can afford alone and
-    # the full bf16-resident 1.5B UNet cannot; flash's O(seq) working set
-    # is load-bearing there.  Tiny/cross shapes aren't worth a kernel
-    # launch.  "auto" picks flash where it pays or where XLA can't fit.
+    # Measured on v5e (benchmarks/results/attention_sweep.json +
+    # attention_dtype_r3_dtype.json).  At the 4096-token spatial level with
+    # bf16 inputs OUR flash kernel (single-MXU-pass dots in the input
+    # dtype) is ~3.2x faster than the stock jax pallas kernel and also
+    # beats XLA — and XLA materializes the (36,5,4096,4096) f32 logits
+    # tensor (12 GB), which the bf16-resident 1.5B UNet cannot afford.  At
+    # the 1024-token level the stock jax flash kernel stays best by a hair
+    # (135.8 vs 139.7 rel units); at 512 tokens plain XLA wins (74 vs 88)
+    # — the kernel launch no longer pays.  Tiny/cross shapes stay on XLA.
     b, sq, h, d = q.shape
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         on_tpu = False
-    if (on_tpu and d == 64 and sq == k.shape[1]
-            and 512 <= sq <= 4096 and sq % 512 == 0):
+    if not (on_tpu and d == 64 and sq == k.shape[1]):
+        return "xla"
+    if sq >= 2048 and sq % 512 == 0:
+        return "flash"
+    if sq == 1024:
         return "flash_jax"
     return "xla"
 
