@@ -24,7 +24,7 @@ _DEFAULT_BACKEND = "auto"
 
 def set_default_backend(name: str) -> None:
     global _DEFAULT_BACKEND
-    assert name in ("auto", "xla", "flash")
+    assert name in ("auto", "xla", "flash", "flash_jax")
     _DEFAULT_BACKEND = name
 
 
@@ -44,10 +44,20 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # block sizes from attention_dtype_r3_dtype.json: bf16's single
         # MXU pass affords the wide (512, 1024) blocks (908 vs 1056 rel
         # units at 4096 tokens); f32's multi-pass matmul wants the smaller
-        # (256, 512) footprint (2794 vs 4556 for the wide blocks)
+        # (256, 512) footprint (2794 vs 4556 for the wide blocks).
+        # Blocks must tile the sequence or flash_attention silently falls
+        # back to XLA (materializing the O(seq^2) f32 logits the bf16-
+        # resident UNet can't afford) — shrink to the largest divisor.
         if q.dtype == jnp.bfloat16:
-            return flash_attention(q, k, v, block_q=512, block_k=1024)
-        return flash_attention(q, k, v, block_q=256, block_k=512)
+            bq, bk = 512, 1024
+        else:
+            bq, bk = 256, 512
+        sq, sk = q.shape[1], k.shape[1]
+        while bq > 128 and sq % bq != 0:
+            bq //= 2
+        while bk > 128 and sk % bk != 0:
+            bk //= 2
+        return flash_attention(q, k, v, block_q=bq, block_k=bk)
     return xla_attention(q, k, v)
 
 
