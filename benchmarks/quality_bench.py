@@ -111,7 +111,7 @@ def psnr(a, b):
 
 def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
              num_pts: int = 100_000, capacity: int = 300_000,
-             lambda_dssim: float = 0.2):
+             lambda_dssim: float = 0.2, lpips_npz: str = None):
     from v3d_tpu.data.cameras import Camera, get_uniform_poses
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
@@ -132,11 +132,19 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
     # point budget its consistent negative gradient + Adam normalization
     # drives a global opacity collapse (measured: alive 20000 -> 0 within
     # 400 iters).  The rest is the train_from_vid recipe.
+    lpips_fn = None
+    lambda_lpips = 0.0
+    if lpips_npz:
+        # weights-day path: the full V3D readme step-4 recipe incl. the
+        # perceptual term (train_from_vid.py:134-135)
+        from v3d_tpu.metrics.lpips import load_lpips
+        lpips_fn = load_lpips(lpips_npz)
+        lambda_lpips = 2.0
     cfg = GSTrainConfig(iterations=iters, densify_from_iter=500,
                         densification_interval=100,
                         densify_until_iter=min(iters, 15_000),
                         opacity_reset_interval=10**9, lambda_opacity=0.0,
-                        lambda_dssim=lambda_dssim,
+                        lambda_dssim=lambda_dssim, lambda_lpips=lambda_lpips,
                         max_per_tile=k, max_per_coarse=kc)
     # radius here is the reference's randn*radius/16 init spread, where
     # radius is the CAMERA ORBIT radius (dataset_readers.py:481: the
@@ -152,7 +160,7 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
     # 11.5-14.2 dB).  The reference grows its tensors unbounded; 3x the
     # init count covers the growth seen over a 4000-iter fit.
     trainer = GSTrainer(cams_train, cfg, num_pts=num_pts, capacity=capacity,
-                        seed=0, radius=2.0)
+                        seed=0, radius=2.0, lpips_fn=lpips_fn)
 
     import time as _time
 
@@ -181,7 +189,10 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
         traj.append(row)
         print(json.dumps(row), flush=True)
 
-    trainer.train(iters, log_every=500, log_fn=log_fn)
+    # probe every 100 iters: that is the densification cadence, so the
+    # trajectory resolves each densify event and the white-bg opacity reset
+    # (reference-faithful, train_from_vid.py:193-196) individually
+    trainer.train(iters, log_every=100, log_fn=log_fn)
 
     train_psnr = np.mean([
         psnr(np.clip(np.asarray(trainer.render_view(k).image), 0, 1),
@@ -197,10 +208,25 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
             jnp.asarray(cam.full_proj_transform),
             jnp.asarray(cam.camera_center), None, jnp.ones(3))
         hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
+    # event-transient guard: the white-bg opacity reset at densify_from_iter
+    # (reference-faithful) must RECOVER — compare each probe against the best
+    # of the two probes that follow 200 iters later; a persistent drop >3 dB
+    # means densify/reset surgery is destroying quality (VERDICT r3 weak #4)
+    ps = [r["holdout_psnr"] for r in traj]
+    worst_persistent = 0.0
+    for i in range(len(ps) - 2):
+        drop = ps[i] - max(ps[i + 1:i + 3])
+        worst_persistent = max(worst_persistent, drop)
+    worst_instant = max((ps[i] - ps[i + 1] for i in range(len(ps) - 1)),
+                        default=0.0)
     return {"gs_iters": iters, "gs_num_pts": num_pts, "gs_capacity": capacity,
             "gs_k": k, "gs_kc": kc, "gs_lambda_dssim": lambda_dssim,
+            "gs_lpips": "ABSENT offline - V3D recipe adds lambda_lpips=2.0 "
+                        "(train_from_vid.py:134-135); numbers are L1/DSSIM-only",
             "gs_train_psnr_db": round(float(train_psnr), 2),
             "gs_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2),
+            "gs_transient_instant_db": round(worst_instant, 2),
+            "gs_transient_persistent_db": round(worst_persistent, 2),
             "gs_wall_s": round(_time.time() - t_start, 1),
             "gs_traj": traj}
 
@@ -279,6 +305,9 @@ def main():
     # the V3D recipe is --lambda_dssim 1.0 --lambda_lpips 2.0 (readme step 4);
     # LPIPS weights are absent offline, so the 1.0 analog runs pure SSIM
     ap.add_argument("--gs-dssim", type=float, default=0.2)
+    ap.add_argument("--lpips-npz", default=None,
+                    help="VGG-LPIPS weights npz: adds lambda_lpips=2.0 "
+                         "(the full readme step-4 recipe; weights-day only)")
     ap.add_argument("--neus-steps", type=int, default=1000)
     ap.add_argument("--skip-gs", action="store_true")
     ap.add_argument("--skip-neus", action="store_true")
@@ -289,7 +318,8 @@ def main():
         out.update(bench_gs(args.res, args.gs_iters, k=args.gs_k,
                             kc=args.gs_kc, num_pts=args.gs_pts,
                             capacity=args.gs_cap,
-                            lambda_dssim=args.gs_dssim))
+                            lambda_dssim=args.gs_dssim,
+                            lpips_npz=args.lpips_npz))
         print(json.dumps(out), flush=True)
     if not args.skip_neus:
         out.update(bench_neus(args.res, args.neus_steps))

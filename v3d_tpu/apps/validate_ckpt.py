@@ -236,10 +236,138 @@ def check_full_loop(ckpt_path: str, steps: int = 25, t: int = 18,
     assert psnr >= 40.0
 
 
+def check_all(ckpt_dir: str, report_path: str, refpoint_fit: bool) -> dict:
+    """Weights-day one-command harness: given a directory of the real
+    checkpoints, run every converter + parity gate + (optionally) the
+    lambda_lpips=2.0 reference-recipe GS fit, and write ONE json report.
+
+    Recognized filenames (any that exist are validated; missing are noted):
+      V3D_512.ckpt / svd_xt.safetensors  -> conversion + forward + full-loop
+      lpips_vgg.npz / vgg16.npz          -> LPIPS ingestion + smoke call
+      omnidata_dpt_normal.ckpt/.npz      -> DPT normal predictor ingestion
+      u2net.pth / u2net.npz              -> U2Net background-removal weights
+      open_clip_vit_h.npz                -> CLIP tower for conditioner/safety
+    """
+    import glob
+    import json
+    import os
+    import time
+
+    report = {"dir": ckpt_dir, "stages": {}, "t_start": time.time()}
+
+    def stage(name, fn):
+        t0 = time.time()
+        try:
+            out = fn()
+            report["stages"][name] = {"ok": True, "detail": out,
+                                      "s": round(time.time() - t0, 1)}
+            print(f"[all] {name}: OK ({time.time() - t0:.0f}s)")
+        except Exception as e:  # keep going: one report for the whole day
+            report["stages"][name] = {"ok": False, "error": str(e)[:500],
+                                      "s": round(time.time() - t0, 1)}
+            print(f"[all] {name}: FAIL - {e}")
+
+    def find(*patterns):
+        for pat in patterns:
+            hits = sorted(glob.glob(os.path.join(ckpt_dir, pat)))
+            if hits:
+                return hits[0]
+        return None
+
+    main_ckpt = find("V3D_512.ckpt", "*.ckpt", "svd_xt*.safetensors",
+                     "*.safetensors")
+    lpips_w = find("lpips_vgg*.npz", "vgg16*.npz", "vgg*.npz")
+    dpt_w = find("omnidata*dpt*", "dpt*.npz", "dpt*.ckpt")
+    u2net_w = find("u2net*.npz", "u2net*.pth")
+    clip_w = find("*clip*.npz")
+
+    if main_ckpt:
+        holder = {}
+        stage("conversion",
+              lambda: holder.setdefault("p", check_conversion(main_ckpt))
+              and "converted")
+        stage("forward_parity",
+              lambda: check_forward(main_ckpt, holder["p"]) or "rel<2e-3")
+        stage("sampling_loop_40db",
+              lambda: check_full_loop(main_ckpt) or ">=40dB")
+    else:
+        report["stages"]["conversion"] = {
+            "ok": False, "error": "no V3D/svd ckpt found in dir"}
+
+    if lpips_w:
+        def _lpips():
+            import jax.numpy as jnp
+
+            from v3d_tpu.metrics.lpips import load_lpips
+            fn = load_lpips(lpips_w)
+            assert fn is not None
+            a = jnp.zeros((1, 64, 64, 3))
+            b = jnp.ones((1, 64, 64, 3)) * 0.5
+            d = float(fn(a, b))
+            assert np.isfinite(d) and d > 0
+            return f"lpips(black, gray)={d:.4f}"
+        stage("lpips_ingest", _lpips)
+    if dpt_w:
+        def _dpt():
+            from v3d_tpu.nerf.normals import load_dpt_normal_predictor
+            assert load_dpt_normal_predictor(dpt_w) is not None
+            return dpt_w
+        stage("dpt_ingest", _dpt)
+    if u2net_w:
+        def _u2net():
+            from v3d_tpu.models.u2net import load_u2net
+            assert load_u2net(u2net_w) is not None
+            return u2net_w
+        stage("u2net_ingest", _u2net)
+    if clip_w:
+        def _clip():
+            from v3d_tpu.core.checkpoint import load_torch_state_dict
+            from v3d_tpu.core.convert import convert_clip_visual
+            sd = (dict(np.load(clip_w)) if clip_w.endswith(".npz")
+                  else load_torch_state_dict(clip_w))
+            params = convert_clip_visual(sd, prefix="")
+            return f"{_tree_count({'params': params})/1e6:.1f}M clip params"
+        stage("clip_ingest", _clip)
+
+    if refpoint_fit and lpips_w:
+        # the V3D readme step-4 recipe with the perceptual term, finally
+        # runnable: lambda_dssim=1.0 lambda_lpips=2.0 at the refpoint
+        def _fit():
+            import subprocess
+            import sys as _sys
+            rc = subprocess.call([
+                _sys.executable, "benchmarks/quality_bench.py", "--res",
+                "512", "--gs-iters", "4000", "--skip-neus",
+                "--gs-dssim", "1.0", "--lpips-npz", lpips_w,
+                "--tag", "refpoint_lpips"],
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))))
+            assert rc == 0
+            return "wrote benchmarks/results/quality_refpoint_lpips.json"
+        stage("refpoint_fit_lpips", _fit)
+
+    report["wall_s"] = round(time.time() - report["t_start"], 1)
+    del report["t_start"]
+    report["ok"] = all(s.get("ok") for s in report["stages"].values())
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"[all] report -> {report_path}  "
+          f"({'ALL OK' if report['ok'] else 'FAILURES PRESENT'})")
+    return report
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ckpt", required=True,
+    p.add_argument("--ckpt", default=None,
                    help="svd_xt.safetensors or V3D_512.ckpt")
+    p.add_argument("--all", default=None, metavar="CKPT_DIR",
+                   help="weights-day mode: validate every recognized ckpt "
+                        "in the directory and write one report")
+    p.add_argument("--report", default="validate_ckpt_report.json",
+                   help="report path for --all")
+    p.add_argument("--refpoint-fit", action="store_true",
+                   help="with --all: also run the lambda_lpips=2.0 "
+                        "reference-recipe GS fit (slow)")
     p.add_argument("--forward", action="store_true",
                    help="torch-vs-flax forward parity with real weights")
     p.add_argument("--full-loop", action="store_true",
@@ -248,6 +376,12 @@ def main():
     p.add_argument("--dpt", default=None, help="omnidata DPT ckpt to ingest")
     args = p.parse_args()
 
+    if args.all:
+        rep = check_all(args.all, args.report, args.refpoint_fit)
+        sys.exit(0 if rep["ok"] else 1)
+
+    if not args.ckpt:
+        sys.exit("need --ckpt (or --all CKPT_DIR)")
     params = check_conversion(args.ckpt)
     if args.forward:
         check_forward(args.ckpt, params)

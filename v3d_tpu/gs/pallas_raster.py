@@ -9,12 +9,16 @@ clamp, T < 1e-4 stop) — but as one kernel per 16x16 tile with:
 - the whole per-coarse-cell slab resident in VMEM (attr-major
   ``(n_cells, 16, Kc)``), shared across the cell's fine tiles by ordering
   the grid cell-major so Mosaic's pipeliner skips the re-fetch;
-- an **early-exit ``while_loop``** over depth chunks: a tile stops as soon
-  as every pixel's transmittance is below 1e-4.  This is the CUDA
-  rasterizer's per-pixel termination at chunk granularity — the property
-  the XLA ``lax.scan`` path fundamentally cannot express (static trip
-  count), and where most of the speedup comes from: median tiles
-  saturate within a few hundred gaussians of a 16k slab;
+- a per-tile depth-chunk ``while_loop`` bounded by BOTH the CUDA early
+  exit (every pixel's transmittance below 1e-4) and the cell's LIVE
+  gaussian count.  The count bound is where most of the round-4 speedup
+  comes from: measured at the reference operating point
+  (benchmarks/results/gs_kernel_stats_r4_base.json) the early exit never
+  fires (uncovered pixels keep T=1 forever), while 12 of 16 coarse cells
+  hold <100 live gaussians yet composited all 32 DEAD-padded chunks;
+- the forward checkpoints each chunk's starting transmittance row (and the
+  stop chunk) to HBM, so the backward runs a SINGLE reverse sweep — the
+  round-3 backward re-ran the whole forward recurrence first (3.5x fwd);
 - all per-pair math on ``(256 pixels, 128 gaussians)`` f32 registers:
   exclusive cumprod along lanes via log2(D) Hillis-Steele rounds of
   ``pltpu.roll``, rgb/alpha/depth accumulated with a single
@@ -29,7 +33,7 @@ per-pixel T row, uses an identity-matmul transpose).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,10 +56,12 @@ def _shift_right_fill(x, s, fill, lane_iota):
     return jnp.where(lane_iota < s, fill, rolled)
 
 
-def _fwd_kernel(cells_ref, xy_ref, slab_ref, o_ref, *, n_chunks):
+def _fwd_kernel(cnt_ref, cells_ref, xy_ref, slab_ref, o_ref, ts_ref, *,
+                n_chunks):
     i = pl.program_id(0)
     x0 = xy_ref[i, 0].astype(jnp.float32)
     y0 = xy_ref[i, 1].astype(jnp.float32)
+    k_max = jnp.minimum(cnt_ref[i], n_chunks)
 
     pix_lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (pix_lin % TILE).astype(jnp.float32) + x0      # (P, 1)
@@ -88,10 +94,12 @@ def _fwd_kernel(cells_ref, xy_ref, slab_ref, o_ref, *, n_chunks):
 
     def cond(state):
         k, T, _ = state
-        return (k < n_chunks) & (jnp.max(T) >= _T_EPS)
+        return (k < k_max) & (jnp.max(T) >= _T_EPS)
 
     def body(state):
         k, T, out5 = state
+        # checkpoint the chunk's STARTING transmittance row for the backward
+        ts_ref[0, pl.ds(k, 1), :] = _transpose_col_to_row(T)
         T, out5 = chunk_step(k, T, out5)
         return k + 1, T, out5
 
@@ -156,11 +164,12 @@ def _recompute_alpha(ch, px, py):
     return alpha, a_raw, cond, epower, dx, dy
 
 
-def _bwd_kernel(cells_ref, xy_ref, first_ref, slab_ref, g_ref, do_ref,
-                ts_ref, *, n_chunks):
-    """Per-tile backward: pass 1 re-runs the forward recurrence storing
-    per-chunk transmittance rows in VMEM scratch; pass 2 walks the chunks in
-    reverse with the CUDA-style suffix accumulator S_i = sum_{j>i} w_j (g.b_j)
+def _bwd_kernel(kstop_ref, cells_ref, xy_ref, first_ref, slab_ref, g_ref,
+                ts_ref, do_ref):
+    """Per-tile backward: a SINGLE reverse sweep over the chunks the forward
+    actually composited (k_stop from the forward), reading the forward's
+    checkpointed per-chunk starting-transmittance rows, with the CUDA-style
+    suffix accumulator S_i = sum_{j>i} w_j (g.b_j)
     (diff-gaussian-rasterization backward.cu renderCUDA semantics, with the
     live/clamp masking matching gs/render._composite_xla's autodiff exactly).
     Gradients accumulate into the per-CELL dslab block across the cell's
@@ -168,6 +177,7 @@ def _bwd_kernel(cells_ref, xy_ref, first_ref, slab_ref, g_ref, do_ref,
     i = pl.program_id(0)
     x0 = xy_ref[i, 0].astype(jnp.float32)
     y0 = xy_ref[i, 1].astype(jnp.float32)
+    k_stop = kstop_ref[i]
 
     @pl.when(first_ref[i] == 1)
     def _():
@@ -178,35 +188,10 @@ def _bwd_kernel(cells_ref, xy_ref, first_ref, slab_ref, g_ref, do_ref,
     py = (pix_lin // TILE).astype(jnp.float32) + y0
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (P, D), 1)
 
-    # ---- pass 1: forward recompute, checkpoint per-chunk T rows
-    def p1_cond(state):
-        k, T = state
-        return (k < n_chunks) & (jnp.max(T) >= _T_EPS)
-
-    def p1_body(state):
-        k, T = state
-        ts_ref[pl.ds(k, 1), :] = _transpose_col_to_row(T)
-        ch = slab_ref[0, :, pl.ds(k * D, D)]
-        alpha, _, _, _, _, _ = _recompute_alpha(ch, px, py)
-        om = 1.0 - alpha
-        # same exclusive-cumprod-based product as the forward kernel so the
-        # recomputed T (and its live masks) match bit-exactly
-        y = _shift_right_fill(om, 1, 1.0, lane_iota)
-        s = 1
-        while s < D:
-            y = y * _shift_right_fill(y, s, 1.0, lane_iota)
-            s *= 2
-        T = T * (y[:, D - 1:] * om[:, D - 1:])
-        return k + 1, T
-
-    k_stop, _ = jax.lax.while_loop(
-        p1_cond, p1_body, (jnp.asarray(0, jnp.int32),
-                           jnp.ones((P, 1), jnp.float32)))
-
     # cotangent rows: [g_r, g_g, g_b, g_acc, g_dep] (5, P)
     g5 = g_ref[0, 0:5, :]
 
-    # ---- pass 2: reverse over chunks with suffix accumulator S (P, 1)
+    # reverse sweep over composited chunks with suffix accumulator S (P, 1)
     def p2_body(kk, S):
         k = k_stop - 1 - kk
         ch = slab_ref[0, :, pl.ds(k * D, D)]
@@ -217,7 +202,7 @@ def _bwd_kernel(cells_ref, xy_ref, first_ref, slab_ref, g_ref, do_ref,
         while s < D:
             y = y * _shift_right_fill(y, s, 1.0, lane_iota)
             s *= 2
-        T_start = _transpose_row_to_col(ts_ref[pl.ds(k, 1), :])
+        T_start = _transpose_row_to_col(ts_ref[0, pl.ds(k, 1), :])
         T_excl = T_start * y
         live = T_excl >= _T_EPS
         w = jnp.where(live, alpha * T_excl, 0.0)            # (P, D)
@@ -280,13 +265,16 @@ def _bwd_kernel(cells_ref, xy_ref, first_ref, slab_ref, g_ref, do_ref,
 
 
 def composite_tiles_bwd(slab: jnp.ndarray, g_out: jnp.ndarray,
+                        ts: jnp.ndarray, k_stop: jnp.ndarray,
                         cell_of_tile: np.ndarray, tile_xy: np.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
     """VJP of composite_tiles_fwd w.r.t. the slab.
 
     slab: (n_cells, ATTR, Kc); g_out: (n_tiles, 8, P) cotangents (rows 0-4
-    = [r,g,b,acc,depth], rows 5-7 ignored).  Returns dslab with the same
-    shape as slab.
+    = [r,g,b,acc,depth], rows 5-7 ignored); ts: (n_tiles, n_chunks, P) the
+    forward's checkpointed chunk-start transmittance rows; k_stop:
+    (n_tiles,) i32 chunks the forward composited.  Returns dslab with the
+    same shape as slab.
     """
     n_cells, attr, kc = slab.shape
     assert attr == ATTR and kc % D == 0
@@ -299,37 +287,49 @@ def composite_tiles_bwd(slab: jnp.ndarray, g_out: jnp.ndarray,
     first = np.zeros(n_tiles, np.int32)
     first[np.unique(cells_sorted, return_index=True)[1]] = 1
 
-    g_sorted = g_out[jnp.asarray(perm)]
+    perm_j = jnp.asarray(perm)
+    g_sorted = g_out[perm_j]
+    ts_sorted = ts[perm_j]
+    kstop_sorted = k_stop[perm_j].astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, ATTR, kc),
-                         lambda i, cells, xy, first: (cells[i], 0, 0)),
+                         lambda i, ks, cells, xy, first: (cells[i], 0, 0)),
             pl.BlockSpec((1, 8, P),
-                         lambda i, cells, xy, first: (i, 0, 0)),
+                         lambda i, ks, cells, xy, first: (i, 0, 0)),
+            pl.BlockSpec((1, n_chunks, P),
+                         lambda i, ks, cells, xy, first: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ATTR, kc),
-                               lambda i, cells, xy, first: (cells[i], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((n_chunks, P), jnp.float32)],
+                               lambda i, ks, cells, xy, first: (cells[i], 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_chunks=n_chunks),
+        _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_cells, ATTR, kc), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(cells_sorted), jnp.asarray(xy_sorted), jnp.asarray(first),
-      slab, g_sorted)
+    )(kstop_sorted, jnp.asarray(cells_sorted), jnp.asarray(xy_sorted),
+      jnp.asarray(first), slab, g_sorted, ts_sorted)
 
 
 def composite_tiles_fwd(slab: jnp.ndarray, cell_of_tile: np.ndarray,
                         tile_xy: np.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
+                        live_count: Optional[jnp.ndarray] = None,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """slab: (n_cells, ATTR, Kc) attr-major depth-sorted per-cell gaussians
-    (dead/padding entries must have opacity 0).  cell_of_tile / tile_xy are
-    STATIC numpy arrays (the tile raster layout).  Returns (n_tiles, 8, P):
-    rows [r, g, b, acc, depth, T_final, k_stop, 0] per tile.
+    (dead/padding entries must have opacity 0 and sort LAST).  cell_of_tile /
+    tile_xy are STATIC numpy arrays (the tile raster layout); ``live_count``
+    is an optional traced (n_cells,) i32 of live slab entries per cell — the
+    kernel skips the all-DEAD padding chunks beyond it (exact: dead entries
+    have alpha 0 and change nothing).  Returns
+
+    - out (n_tiles, 8, P): rows [r, g, b, acc, depth, T_final, k_stop, 0];
+    - ts (n_tiles, n_chunks, P): per-chunk starting transmittance rows
+      (the backward's checkpoints; rows >= k_stop are uninitialized).
     """
     n_cells, attr, kc = slab.shape
     assert attr == ATTR and kc % D == 0
@@ -341,23 +341,35 @@ def composite_tiles_fwd(slab: jnp.ndarray, cell_of_tile: np.ndarray,
     cells_sorted = cell_of_tile[perm].astype(np.int32)
     xy_sorted = tile_xy[perm].astype(np.int32)
 
+    if live_count is None:
+        cnt_tile = jnp.full((n_tiles,), n_chunks, jnp.int32)
+    else:
+        cnt_chunks = (live_count.astype(jnp.int32) + (D - 1)) // D
+        cnt_tile = cnt_chunks[jnp.asarray(cells_sorted)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, ATTR, kc),
-                         lambda i, cells, xy: (cells[i], 0, 0)),
+                         lambda i, cnt, cells, xy: (cells[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, P),
-                               lambda i, cells, xy: (i, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, 8, P),
+                         lambda i, cnt, cells, xy: (i, 0, 0)),
+            pl.BlockSpec((1, n_chunks, P),
+                         lambda i, cnt, cells, xy: (i, 0, 0)),
+        ],
     )
-    out = pl.pallas_call(
+    out, ts = pl.pallas_call(
         functools.partial(_fwd_kernel, n_chunks=n_chunks),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 8, P), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, n_chunks, P), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(cells_sorted), jnp.asarray(xy_sorted), slab)
+    )(cnt_tile, jnp.asarray(cells_sorted), jnp.asarray(xy_sorted), slab)
     # undo the cell-major permutation
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n_tiles, dtype=np.int32)
-    return out[jnp.asarray(inv)]
+    inv_j = jnp.asarray(inv)
+    return out[inv_j], ts[inv_j]

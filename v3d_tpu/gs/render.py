@@ -283,34 +283,40 @@ def _make_pallas_composite(cell_bytes: bytes, xy_bytes: bytes, n_tiles: int,
         slab_am = jnp.transpose(slab, (0, 2, 1))            # (cells, 10, K)
         return jnp.pad(slab_am, ((0, 0), (0, ATTR - 10), (0, 0)))
 
-    def _pallas_fwd(slab):
-        out = composite_tiles_fwd(_to_attr_major(slab), cell_np, xy_np,
-                                  interpret=interpret)
+    def _pallas_fwd(slab, live_count):
+        out, ts = composite_tiles_fwd(_to_attr_major(slab), cell_np, xy_np,
+                                      live_count=live_count,
+                                      interpret=interpret)
         rgb = jnp.transpose(out[:, 0:3, :], (0, 2, 1))       # (n_tiles, P, 3)
-        return rgb, out[:, 3, :], out[:, 4, :]
+        k_stop = out[:, 6, 0].astype(jnp.int32)
+        return (rgb, out[:, 3, :], out[:, 4, :]), ts, k_stop
 
     @jax.custom_vjp
-    def comp(slab):
-        return _pallas_fwd(slab)
+    def comp(slab, live_count):
+        return _pallas_fwd(slab, live_count)[0]
 
-    def fwd_rule(slab):
-        return _pallas_fwd(slab), slab
+    def fwd_rule(slab, live_count):
+        primal, ts, k_stop = _pallas_fwd(slab, live_count)
+        if bwd == "pallas":
+            return primal, (slab, ts, k_stop)
+        return primal, slab
 
     def bwd_rule_xla(slab, g):
         _, vjp = jax.vjp(
             lambda s: _composite_xla(s, cell_np, xy_np, D, tile_chunk), slab)
-        return vjp(g)
+        return vjp(g) + (None,)
 
-    def bwd_rule_pallas(slab, g):
+    def bwd_rule_pallas(res, g):
+        slab, ts, k_stop = res
         g_rgb, g_acc, g_dep = g
         g8 = jnp.concatenate([
             jnp.transpose(g_rgb, (0, 2, 1)),
             g_acc[:, None, :], g_dep[:, None, :],
             jnp.zeros((n_tiles, 3, P), jnp.float32)], axis=1)
-        dslab_am = composite_tiles_bwd(_to_attr_major(slab), g8,
+        dslab_am = composite_tiles_bwd(_to_attr_major(slab), g8, ts, k_stop,
                                        cell_np, xy_np, interpret=interpret)
         dslab = jnp.transpose(dslab_am[:, :10, :], (0, 2, 1))[:, :Kq]
-        return (dslab,)
+        return (dslab, None)
 
     comp.defvjp(fwd_rule,
                 bwd_rule_pallas if bwd == "pallas" else bwd_rule_xla)
@@ -373,11 +379,15 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
         slab_all = packed[coarse_idx]                    # (n_coarse, Kc, 10)
         slab_all = jnp.where(coarse_ok[..., None], slab_all,
                              DEAD[None, None, :])
+        # live entries per cell: DEAD padding sorts last, so the fused
+        # kernel can skip whole all-DEAD depth chunks (exact — alpha 0)
+        live_count = jnp.sum(coarse_ok, axis=1).astype(jnp.int32)
         Kq = Kc
     else:
         # small scene: one global near->far sort shared by every tile
         order = jnp.argsort(depth_masked)
         slab_all = packed[order][None]                   # (1, N, 10)
+        live_count = jnp.sum(jnp.isfinite(depth_masked))[None].astype(jnp.int32)
         Kq = N
 
     # static tile raster layout (numpy — baked into the compiled program)
@@ -399,7 +409,7 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
             cell_np.tobytes(), xy_np.tobytes(), n_tiles,
             slab_all.shape[0], slab_all.shape[1], D, config.tile_chunk,
             config.pallas_interpret, config.pallas_bwd)
-        rgb, acc, dep = comp(slab_all)
+        rgb, acc, dep = comp(slab_all, live_count)
     else:
         rgb, acc, dep = _composite_xla(slab_all, cell_np, xy_np, D,
                                        config.tile_chunk)
