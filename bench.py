@@ -256,7 +256,8 @@ if __name__ == "__main__":
 
         rc = subprocess.call([
             sys.executable, "benchmarks/quality_bench.py", "--res", "512",
-            "--gs-iters", "4000", "--neus-steps", "3000",
+            "--gs-iters", "4000", "--gs-dssim", "1.0",
+            "--neus-steps", "3000",
             "--tag", "refpoint"],
             cwd=os.path.dirname(os.path.abspath(__file__)))
         if rc != 0:

@@ -111,7 +111,8 @@ def psnr(a, b):
 
 def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
              num_pts: int = 100_000, capacity: int = 300_000,
-             lambda_dssim: float = 0.2, lpips_npz: str = None):
+             lambda_dssim: float = 0.2, lpips_npz: str = None,
+             opacity_reset_interval: int = 3000):
     from v3d_tpu.data.cameras import Camera, get_uniform_poses
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
@@ -140,10 +141,14 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
         from v3d_tpu.metrics.lpips import load_lpips
         lpips_fn = load_lpips(lpips_npz)
         lambda_lpips = 2.0
+    # opacity_reset_interval=3000 is the reference default
+    # (arguments/__init__.py:99): the refpoint fit resets at iter 3000 AND
+    # at densify_from (white bg), exactly like train_from_vid
     cfg = GSTrainConfig(iterations=iters, densify_from_iter=500,
                         densification_interval=100,
                         densify_until_iter=min(iters, 15_000),
-                        opacity_reset_interval=10**9, lambda_opacity=0.0,
+                        opacity_reset_interval=opacity_reset_interval,
+                        lambda_opacity=0.0,
                         lambda_dssim=lambda_dssim, lambda_lpips=lambda_lpips,
                         max_per_tile=k, max_per_coarse=kc)
     # radius here is the reference's randn*radius/16 init spread, where
@@ -164,21 +169,32 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
 
     import time as _time
 
-    from v3d_tpu.gs.losses import ssim as gs_ssim
+    from v3d_tpu.gs.losses import ssim as _ssim_raw
+
+    import jax as _jx
+    gs_ssim = _jx.jit(_ssim_raw)
 
     traj = []
     probe_cam = Camera.from_c2w(poses_cv[hold_ids[0]], 60.0, res, res)
     t_start = _time.time()
 
-    def log_fn(stats):
-        import jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
 
-        out = trainer._render(
-            trainer.params, trainer.alive,
-            jnp.asarray(probe_cam.world_view_transform),
-            jnp.asarray(probe_cam.full_proj_transform),
-            jnp.asarray(probe_cam.camera_center), None, jnp.ones(3))
-        img = np.clip(np.asarray(out.image), 0, 1)
+    # jit the probe render: eager per-op dispatch through the tunneled TPU
+    # (~50ms/op) made probes dominate the round-3 diag run's wall clock
+    @jax.jit
+    def probe_render(fp, alive, wvt, fpt, center, bg):
+        return trainer._render(fp, alive, wvt, fpt, center, None, bg).image
+
+    probe_wvt = jnp.asarray(probe_cam.world_view_transform)
+    probe_fpt = jnp.asarray(probe_cam.full_proj_transform)
+    probe_center = jnp.asarray(probe_cam.camera_center)
+
+    def log_fn(stats):
+        img = probe_render(trainer.params, trainer.alive, probe_wvt,
+                           probe_fpt, probe_center, jnp.ones(3))
+        img = np.clip(np.asarray(img), 0, 1)
         row = {"iter": int(stats["iter"]),
                "loss": round(float(stats["loss"]), 4),
                "alive": int(np.asarray(trainer.alive).sum()),
@@ -194,20 +210,16 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
     # (reference-faithful, train_from_vid.py:193-196) individually
     trainer.train(iters, log_every=100, log_fn=log_fn)
 
-    train_psnr = np.mean([
-        psnr(np.clip(np.asarray(trainer.render_view(k).image), 0, 1),
-             imgs[i]) for k, i in enumerate(train_ids[:6])])
-    import jax.numpy as jnp
-
-    hold_psnrs = []
-    for i in hold_ids[:6]:
+    def eval_view(i):
         cam = Camera.from_c2w(poses_cv[i], 60.0, res, res)
-        out = trainer._render(
-            trainer.params, trainer.alive,
-            jnp.asarray(cam.world_view_transform),
-            jnp.asarray(cam.full_proj_transform),
-            jnp.asarray(cam.camera_center), None, jnp.ones(3))
-        hold_psnrs.append(psnr(np.clip(np.asarray(out.image), 0, 1), imgs[i]))
+        img = probe_render(trainer.params, trainer.alive,
+                           jnp.asarray(cam.world_view_transform),
+                           jnp.asarray(cam.full_proj_transform),
+                           jnp.asarray(cam.camera_center), jnp.ones(3))
+        return psnr(np.clip(np.asarray(img), 0, 1), imgs[i])
+
+    train_psnr = np.mean([eval_view(i) for i in train_ids[:6]])
+    hold_psnrs = [eval_view(i) for i in hold_ids[:6]]
     # event-transient guard: the white-bg opacity reset at densify_from_iter
     # (reference-faithful) must RECOVER — compare each probe against the best
     # of the two probes that follow 200 iters later; a persistent drop >3 dB
@@ -263,7 +275,8 @@ def bench_neus(res: int, steps: int):
                           poses_gl[train_ids], config=cfg, seed=0)
     import time as _time
 
-    from v3d_tpu.gs.losses import ssim as gs_ssim
+    from v3d_tpu.gs.losses import ssim as _ssim_raw
+    gs_ssim = jax.jit(_ssim_raw)
     import jax.numpy as jnp
 
     traj = []
@@ -305,6 +318,7 @@ def main():
     # the V3D recipe is --lambda_dssim 1.0 --lambda_lpips 2.0 (readme step 4);
     # LPIPS weights are absent offline, so the 1.0 analog runs pure SSIM
     ap.add_argument("--gs-dssim", type=float, default=0.2)
+    ap.add_argument("--gs-reset-interval", type=int, default=3000)
     ap.add_argument("--lpips-npz", default=None,
                     help="VGG-LPIPS weights npz: adds lambda_lpips=2.0 "
                          "(the full readme step-4 recipe; weights-day only)")
@@ -319,7 +333,8 @@ def main():
                             kc=args.gs_kc, num_pts=args.gs_pts,
                             capacity=args.gs_cap,
                             lambda_dssim=args.gs_dssim,
-                            lpips_npz=args.lpips_npz))
+                            lpips_npz=args.lpips_npz,
+                            opacity_reset_interval=args.gs_reset_interval))
         print(json.dumps(out), flush=True)
     if not args.skip_neus:
         out.update(bench_neus(args.res, args.neus_steps))

@@ -36,7 +36,6 @@ import numpy as np
 
 from v3d_tpu.gs.gaussians import (
     GaussianParams,
-    build_covariance3d,
     get_features,
     get_opacity,
 )
@@ -70,15 +69,20 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
     campos = jnp.asarray(cam.camera_center)
 
     xyz = g.xyz
-    ones = jnp.ones_like(xyz[:, :1])
-    p_hom = jnp.concatenate([xyz, ones], axis=-1)
     # f32 precision is load-bearing: TPU matmuls default to bf16 precision
     # (~0.4% rel err), which jitters means2d by ~1 px at 512^2 — gaussians
     # then cannot localize below that and fits stall in the low teens dB
     # (observed: 128^2 fits fine at the same relative error = 0.25 px).
-    hp = jax.lax.Precision.HIGHEST
-    p_view = jnp.matmul(p_hom, wvt, precision=hp)   # (N, 4)
-    p_clip = jnp.matmul(p_hom, fpt, precision=hp)
+    # The (N,4)x(4,4) transforms are written as broadcast FMAs rather than
+    # dot_general: the MXU pads a 4-wide contraction to full tiles and a
+    # HIGHEST-precision pass costs 6x more — measured 43.5 ms of projection
+    # at N=300k, almost all of it these paddings (VPU form: elementwise).
+    def affine4(m):
+        return (xyz[:, 0:1] * m[0][None] + xyz[:, 1:2] * m[1][None]
+                + xyz[:, 2:3] * m[2][None] + m[3][None])
+
+    p_view = affine4(wvt)    # (N, 4)
+    p_clip = affine4(fpt)
     p_w = 1.0 / (p_clip[:, 3] + 1e-7)
     ndc = p_clip[:, :3] * p_w[:, None]
     means2d = jnp.stack([
@@ -98,19 +102,29 @@ def project_gaussians(g: GaussianParams, cam, active_sh_degree: int = 0,
     tx = txtz * safe_tz
     ty = tytz * safe_tz
 
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([fx / safe_tz, zeros, -fx * tx / safe_tz**2], axis=-1),
-        jnp.stack([zeros, fy / safe_tz, -fy * ty / safe_tz**2], axis=-1),
-    ], axis=-2)                                # (N, 2, 3)
-    R_w2c = wvt[:3, :3].T                      # (3,3)
-    Sigma = build_covariance3d(g, scaling_modifier)   # (N, 3, 3)
-    M = jnp.matmul(J, R_w2c, precision=hp)     # (N, 2, 3)
-    cov2d = jnp.matmul(jnp.matmul(M, Sigma, precision=hp),
-                       M.transpose(0, 2, 1), precision=hp)  # (N, 2, 2)
-    c00 = cov2d[:, 0, 0] + 0.3
-    c01 = cov2d[:, 0, 1]
-    c11 = cov2d[:, 1, 1] + 0.3
+    # cov2d = M Sigma M^T with Sigma = L L^T (L = R diag(s)); computed as
+    # A = M L then the three unique entries of A A^T.  All broadcast FMAs
+    # over (N,3) vectors — the batched (N,2,3)@(N,3,3) dot_generals this
+    # replaces padded the 3-wide contractions onto MXU tiles at HIGHEST
+    # precision and dominated the projection profile.
+    from v3d_tpu.gs.gaussians import build_rotation, get_scaling
+
+    R_w2c = wvt[:3, :3].T                      # (3,3) — rows are constants
+    L = (build_rotation(g.rotation)
+         * (get_scaling(g) * scaling_modifier)[:, None, :])  # (N, 3, 3)
+    a0 = fx / safe_tz
+    c0 = -fx * tx / safe_tz**2
+    a1 = fy / safe_tz
+    c1 = -fy * ty / safe_tz**2
+    m0 = a0[:, None] * R_w2c[0][None] + c0[:, None] * R_w2c[2][None]  # (N,3)
+    m1 = a1[:, None] * R_w2c[1][None] + c1[:, None] * R_w2c[2][None]
+    A0 = (m0[:, 0:1] * L[:, 0, :] + m0[:, 1:2] * L[:, 1, :]
+          + m0[:, 2:3] * L[:, 2, :])           # (N, 3)
+    A1 = (m1[:, 0:1] * L[:, 0, :] + m1[:, 1:2] * L[:, 1, :]
+          + m1[:, 2:3] * L[:, 2, :])
+    c00 = jnp.sum(A0 * A0, axis=-1) + 0.3
+    c01 = jnp.sum(A0 * A1, axis=-1)
+    c11 = jnp.sum(A1 * A1, axis=-1) + 0.3
 
     det = c00 * c11 - c01 * c01
     det_ok = det > 0
