@@ -88,3 +88,23 @@ def test_split_and_convert_svd_checkpoint(tmp_path):
         validate_ckpt.main()
     finally:
         _sys.argv = argv
+
+
+def test_validate_ckpt_all_gates_cleanly(tmp_path):
+    """apps/validate_ckpt --all on a directory with no recognizable weights
+    must still produce the one-file report (weights-day harness glue), with
+    the conversion stage marked failed and every optional stage gated off."""
+    import json
+
+    from v3d_tpu.apps.validate_ckpt import check_all
+
+    report_path = str(tmp_path / "report.json")
+    report = check_all(str(tmp_path), report_path, refpoint_fit=False)
+    assert not report["ok"]
+    assert report["stages"]["conversion"]["ok"] is False
+    # optional stages must be absent, not failed, when weights are missing
+    for k in ("lpips_ingest", "dpt_ingest", "u2net_ingest", "clip_ingest",
+              "refpoint_fit_lpips"):
+        assert k not in report["stages"]
+    on_disk = json.load(open(report_path))
+    assert on_disk["stages"] == report["stages"]
