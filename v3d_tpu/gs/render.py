@@ -337,14 +337,13 @@ def _make_pallas_composite(cell_bytes: bytes, xy_bytes: bytes, n_tiles: int,
     return comp
 
 
-def rasterize(proj: ProjectedGaussians, height: int, width: int,
-              background: jnp.ndarray,
-              config: RasterizeConfig = RasterizeConfig(),
-              screen_offset: Optional[jnp.ndarray] = None) -> RenderOutput:
-    """Tile-based alpha compositing.  ``screen_offset`` is the reference's
-    screenspace-points trick (gaussian_renderer/__init__.py:37-46): a zeros
-    (N, 2) array added to means2d whose gradient gives the densification
-    statistic."""
+def _build_slabs(proj: ProjectedGaussians, height: int, width: int,
+                 config: RasterizeConfig,
+                 screen_offset: Optional[jnp.ndarray] = None):
+    """Binning stage shared by the single-device and tile-sharded paths:
+    pack per-gaussian attributes and preselect the depth-sorted slab per
+    coarse cell.  Returns (slab_all, live_count, cell_np, xy_np, layout)
+    where layout = (n_tx, n_ty, n_tiles, Kq)."""
     means2d = proj.means2d
     if screen_offset is not None:
         means2d = means2d + screen_offset
@@ -412,6 +411,26 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
     else:
         cell_np = np.zeros(n_tiles, np.int32)
     xy_np = np.stack([tx_np * TILE, ty_np * TILE], -1).astype(np.int32)
+    return slab_all, live_count, cell_np, xy_np, (n_tx, n_ty, n_tiles, Kq)
+
+
+def _untile(x: jnp.ndarray, n_tx: int, n_ty: int, height: int, width: int):
+    c = x.shape[-1] if x.ndim == 3 else 1
+    x = x.reshape(n_ty, n_tx, TILE, TILE, c)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * TILE, n_tx * TILE, c)
+    return x[:height, :width]
+
+
+def rasterize(proj: ProjectedGaussians, height: int, width: int,
+              background: jnp.ndarray,
+              config: RasterizeConfig = RasterizeConfig(),
+              screen_offset: Optional[jnp.ndarray] = None) -> RenderOutput:
+    """Tile-based alpha compositing.  ``screen_offset`` is the reference's
+    screenspace-points trick (gaussian_renderer/__init__.py:37-46): a zeros
+    (N, 2) array added to means2d whose gradient gives the densification
+    statistic."""
+    slab_all, live_count, cell_np, xy_np, (n_tx, n_ty, n_tiles, Kq) = \
+        _build_slabs(proj, height, width, config, screen_offset)
 
     backend = config.backend
     if backend == "auto":
@@ -431,15 +450,62 @@ def rasterize(proj: ProjectedGaussians, height: int, width: int,
     # mask), so the background weight is exactly 1 - acc
     rgb = rgb + (1.0 - acc)[..., None] * background[None, None, :]
 
-    def untile(x):
-        c = x.shape[-1] if x.ndim == 3 else 1
-        x = x.reshape(n_ty, n_tx, TILE, TILE, c)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(n_ty * TILE, n_tx * TILE, c)
-        return x[:height, :width]
+    image = _untile(rgb, n_tx, n_ty, height, width)
+    alpha = _untile(acc, n_tx, n_ty, height, width)[..., 0]
+    depth = _untile(dep, n_tx, n_ty, height, width)[..., 0]
+    radii = jnp.where(proj.valid, proj.radius, 0.0)
+    return RenderOutput(image, alpha, depth, radii)
 
-    image = untile(rgb)
-    alpha = untile(acc)[..., 0]
-    depth = untile(dep)[..., 0]
+
+def rasterize_sharded(proj: ProjectedGaussians, height: int, width: int,
+                      background: jnp.ndarray, mesh, axis: str,
+                      config: RasterizeConfig = RasterizeConfig(),
+                      screen_offset: Optional[jnp.ndarray] = None
+                      ) -> RenderOutput:
+    """Tile-sharded rasterization for multi-chip fits: the binning stage is
+    replicated (cheap, O(N) vector math), the per-tile streaming compositor
+    is sharded over the mesh ``axis`` (each device composites its strip of
+    the 16x16 tile grid against the full slab).  The backward psums slab
+    cotangents across shards automatically (shard_map replicated-input
+    rule), which IS the gradient all-reduce of a tile-parallel fit.
+
+    Reference analog: none — the CUDA rasterizer is single-GPU; this is the
+    TPU-native scale-out of recon/gaussian_renderer/__init__.py:22-134.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    slab_all, live_count, cell_np, xy_np, (n_tx, n_ty, n_tiles, Kq) = \
+        _build_slabs(proj, height, width, config, screen_offset)
+
+    nsh = mesh.shape[axis]
+    pad = (-n_tiles) % nsh
+    cell = jnp.asarray(np.concatenate([cell_np, np.zeros(pad, np.int32)]))
+    xy = jnp.asarray(np.concatenate(
+        [xy_np, np.zeros((pad, 2), np.int32)]).astype(np.int32))
+    D = max(1, min(config.max_per_tile, Kq))
+
+    def shard_fn(slab, cell_s, xy_s):
+        # _composite_xla takes the tile layout as arrays: per-shard slices
+        return _composite_xla(slab, cell_s, xy_s, D, config.tile_chunk)
+
+    # check_vma off: the scan carry inits inside _composite_xla are
+    # unvarying constants that become data-varying through the body, which
+    # the static VMA checker can't express; grads still psum correctly via
+    # the in_specs (replicated slab -> cotangent all-reduce).
+    rgb, acc, dep = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)(slab_all, cell, xy)
+    rgb = rgb[:n_tiles]
+    acc = acc[:n_tiles]
+    dep = dep[:n_tiles]
+    rgb = rgb + (1.0 - acc)[..., None] * background[None, None, :]
+
+    image = _untile(rgb, n_tx, n_ty, height, width)
+    alpha = _untile(acc, n_tx, n_ty, height, width)[..., 0]
+    depth = _untile(dep, n_tx, n_ty, height, width)[..., 0]
     radii = jnp.where(proj.valid, proj.radius, 0.0)
     return RenderOutput(image, alpha, depth, radii)
 
