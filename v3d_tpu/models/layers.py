@@ -41,63 +41,53 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
 
 
 class ChannelPartialGroupNorm(nn.Module):
-    """GroupNorm with a TPU-shaped statistics pass.
+    """GroupNorm with a TPU-shaped statistics pass (+ optional fused act).
 
     flax's nn.GroupNorm reshapes to (..., G, C/G) and reduces over the C/G
     minor slice — a 10-wide group straddles the 128-wide lane dim at ~8%
     efficiency, and the resulting convert_reduce fusions were 28% of the
     whole UNet denoise step (129 ms/step, benchmarks/profile_unet_step
-    trace).  Here the reduction runs over the MAJOR (spatial) dims with
-    channels kept on lanes — per-channel sum and sum-of-squares in one
-    pass — then the (B, C) partials are group-summed, which is
-    microscopic.  Param tree matches nn.GroupNorm (scale/bias of (C,))."""
+    trace).  The math lives in ops/fused_groupnorm: per-channel moments
+    with channels on lanes, group-combined on (B, C) partials — lowered to
+    the fused Pallas two-pass kernels on TPU (the r4 trace still showed
+    137 ms/step of XLA convert_reduce stat fusions), XLA formula elsewhere.
+    ``act="silu"`` fuses the SiLU epilogue of the GN-SiLU-conv ResBlock
+    pattern into the normalize pass.  Param tree matches nn.GroupNorm
+    (scale/bias of (C,))."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        from v3d_tpu.ops.fused_groupnorm import group_norm_act
+
         G = self.num_groups
         C = x.shape[-1]
         assert C % G == 0, (C, G)
+        assert self.act in (None, "silu"), self.act
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-
-        xf = x.astype(jnp.float32)
-        red = tuple(range(1, x.ndim - 1))          # spatial/major dims
-        n_per_ch = 1
-        for d in red:
-            n_per_ch *= x.shape[d]
-        s1 = jnp.sum(xf, axis=red)                  # (B, C) — lane-parallel
-        s2 = jnp.sum(xf * xf, axis=red)             # fused into the same pass
-        B = s1.shape[0]
-        g1 = jnp.sum(s1.reshape(B, G, C // G), axis=-1)
-        g2 = jnp.sum(s2.reshape(B, G, C // G), axis=-1)
-        n = n_per_ch * (C // G)
-        mean = g1 / n                               # (B, G)
-        var = jnp.maximum(g2 / n - mean * mean, 0.0)
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        # broadcast per-group stats back to channels: (B, C)
-        mean_c = jnp.repeat(mean, C // G, axis=-1)
-        inv_c = jnp.repeat(inv, C // G, axis=-1)
-        shape = (B,) + (1,) * (x.ndim - 2) + (C,)
-        return (xf - mean_c.reshape(shape)) * (
-            inv_c.reshape(shape) * scale) + bias
+        return group_norm_act(x, scale, bias, G, self.epsilon,
+                              self.act == "silu")
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) evaluated in f32, output cast back to input dtype.
+    """GroupNorm(32) evaluated in f32, output cast back to input dtype,
+    with an optional fused SiLU epilogue (``act="silu"``).
     Inner module named GroupNorm_0 keeps the param tree identical to the
     previous nn.GroupNorm delegation (core/convert.py:55,437)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
         out = ChannelPartialGroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon,
+            num_groups=self.num_groups, epsilon=self.epsilon, act=self.act,
             name="GroupNorm_0")(x)
         return out.astype(dtype)
 
@@ -243,8 +233,7 @@ class ResBlock(nn.Module):
         ks = tuple(ks)
         pad = [(k // 2, k // 2) for k in ks]
 
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="in_norm", act="silu")(x)
         if self.up:
             h = _nearest_up2(h)
             x = _nearest_up2(x)
@@ -269,11 +258,11 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
         else:
             if not self.skip_t_emb:
                 h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(name="out_norm", act="silu")(h)
         h = conv_nd(self.out_channels, ks, padding=pad, dtype=self.dtype,
                     zero_init=True, name="out_conv")(h)
 

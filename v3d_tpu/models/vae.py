@@ -25,13 +25,21 @@ from v3d_tpu.ops.attention import attention
 
 
 class VAEGroupNorm(nn.Module):
-    """GroupNorm(32, eps=1e-6) in f32 (model.py:52-56)."""
+    """GroupNorm(32, eps=1e-6) in f32 (model.py:52-56), with an optional
+    fused SiLU epilogue.  Lowered through ops/fused_groupnorm (Pallas on
+    TPU); the inner ChannelPartialGroupNorm is named GroupNorm_0 so the
+    param tree matches the previous nn.GroupNorm delegation."""
+
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        from v3d_tpu.models.layers import ChannelPartialGroupNorm
+
         dtype = x.dtype
-        out = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
-                           param_dtype=jnp.float32)(x.astype(jnp.float32))
+        out = ChannelPartialGroupNorm(
+            num_groups=32, epsilon=1e-6, act=self.act,
+            name="GroupNorm_0")(x)
         return out.astype(dtype)
 
 
@@ -44,11 +52,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
-        h = VAEGroupNorm(name="norm1")(x)
-        h = nn.silu(h)
+        h = VAEGroupNorm(name="norm1", act="silu")(x)
         h = conv_nd(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = VAEGroupNorm(name="norm2")(h)
-        h = nn.silu(h)
+        h = VAEGroupNorm(name="norm2", act="silu")(h)
         h = conv_nd(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != out_ch:
             x = conv_nd(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -127,8 +133,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
-        h = VAEGroupNorm(name="norm_out")(h)
-        h = nn.silu(h)
+        h = VAEGroupNorm(name="norm_out", act="silu")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return conv_nd(out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
@@ -221,8 +226,7 @@ class DecoderBase(nn.Module):
             if i != 0:
                 h = UpsampleVAE(dtype=self.dtype, name=f"up_{i}_upsample")(h)
                 curr_res *= 2
-        h = VAEGroupNorm(name="norm_out")(h)
-        h = nn.silu(h)
+        h = VAEGroupNorm(name="norm_out", act="silu")(h)
         return self.make_conv_out("conv_out")(h)
 
 
