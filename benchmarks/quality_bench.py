@@ -112,7 +112,9 @@ def psnr(a, b):
 def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
              num_pts: int = 100_000, capacity: int = 300_000,
              lambda_dssim: float = 0.2, lpips_npz: str = None,
-             opacity_reset_interval: int = 3000):
+             opacity_reset_interval: int = 3000,
+             opacity_reset_mode: str = "hard",
+             opacity_decay: float = 1.0):
     from v3d_tpu.data.cameras import Camera, get_uniform_poses
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
@@ -148,6 +150,8 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
                         densification_interval=100,
                         densify_until_iter=min(iters, 15_000),
                         opacity_reset_interval=opacity_reset_interval,
+                        opacity_reset_mode=opacity_reset_mode,
+                        opacity_decay=opacity_decay,
                         lambda_opacity=0.0,
                         lambda_dssim=lambda_dssim, lambda_lpips=lambda_lpips,
                         max_per_tile=k, max_per_coarse=kc)
@@ -232,6 +236,8 @@ def bench_gs(res: int, iters: int, k: int = 1024, kc: int = 16384,
     worst_instant = max((ps[i] - ps[i + 1] for i in range(len(ps) - 1)),
                         default=0.0)
     return {"gs_iters": iters, "gs_num_pts": num_pts, "gs_capacity": capacity,
+            "gs_reset_mode": opacity_reset_mode,
+            "gs_opacity_decay": opacity_decay,
             "gs_k": k, "gs_kc": kc, "gs_lambda_dssim": lambda_dssim,
             "gs_lpips": "ABSENT offline - V3D recipe adds lambda_lpips=2.0 "
                         "(train_from_vid.py:134-135); numbers are L1/DSSIM-only",
@@ -319,6 +325,9 @@ def main():
     # LPIPS weights are absent offline, so the 1.0 analog runs pure SSIM
     ap.add_argument("--gs-dssim", type=float, default=0.2)
     ap.add_argument("--gs-reset-interval", type=int, default=3000)
+    ap.add_argument("--gs-reset-mode", default="hard",
+                    choices=["hard", "none"])
+    ap.add_argument("--gs-opacity-decay", type=float, default=1.0)
     ap.add_argument("--lpips-npz", default=None,
                     help="VGG-LPIPS weights npz: adds lambda_lpips=2.0 "
                          "(the full readme step-4 recipe; weights-day only)")
@@ -334,7 +343,9 @@ def main():
                             capacity=args.gs_cap,
                             lambda_dssim=args.gs_dssim,
                             lpips_npz=args.lpips_npz,
-                            opacity_reset_interval=args.gs_reset_interval))
+                            opacity_reset_interval=args.gs_reset_interval,
+                            opacity_reset_mode=args.gs_reset_mode,
+                            opacity_decay=args.gs_opacity_decay))
         print(json.dumps(out), flush=True)
     if not args.skip_neus:
         out.update(bench_neus(args.res, args.neus_steps))

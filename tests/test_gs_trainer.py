@@ -6,6 +6,7 @@ import dataclasses
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from v3d_tpu.data.cameras import orbit_cameras
@@ -264,3 +265,28 @@ def test_trainer_device_densify_runs():
     n_alive = int(np.asarray(tr.alive).sum())
     assert n_alive > 32  # densification actually added gaussians
     assert np.isfinite(float(np.asarray(tr.params["xyz"]).sum()))
+
+
+def test_opacity_decay_and_reset_modes():
+    """opacity_decay<1 multiplies opacities per step (with zero LRs it is
+    the only parameter change); reset_mode="none" skips the white-bg /
+    interval opacity resets entirely."""
+    cams = _target_scene()
+    cfg = GSTrainConfig(
+        iterations=4, densify_from_iter=2, densification_interval=100,
+        opacity_reset_interval=4, max_per_tile=8, tile_chunk=2,
+        position_lr_init=0.0, position_lr_final=0.0, feature_lr=0.0,
+        opacity_lr=0.0, scaling_lr=0.0, rotation_lr=0.0, lambda_opacity=0.0,
+        opacity_reset_mode="none", opacity_decay=0.9, chunk_size=1)
+    tr = GSTrainer(cams, cfg, num_pts=16, capacity=16, seed=0)
+    op0 = np.asarray(jnp.clip(jax.nn.sigmoid(tr.params["opacity"]), 0, 1))
+    tr.train_iter()
+    op1 = np.asarray(jax.nn.sigmoid(tr.params["opacity"]))
+    np.testing.assert_allclose(op1, np.clip(op0 * 0.9, 1e-6, 1 - 1e-6),
+                               rtol=1e-5)
+    # mode="none": crossing iter 2 (white-bg densify_from) and 4 (interval)
+    # must not clamp opacities to 0.01
+    tr.train_iter(); tr.train_iter(); tr.train_iter()
+    op4 = np.asarray(jax.nn.sigmoid(tr.params["opacity"]))
+    assert op4.max() > 0.05  # hard reset would clamp all to <= 0.01
+    np.testing.assert_allclose(op4, np.clip(op0 * 0.9 ** 4, 1e-6, 1), rtol=1e-4)
