@@ -76,7 +76,15 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
     dirs = get_ray_directions(h, w, focal)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    cfg = NeusConfig(radius=radius, num_samples_per_ray=num_samples,
+    # TPU empty-space skipping: surface-guided coarse-to-fine with a
+    # quarter fine budget — measured 140.5 -> 33.9 ms/step at holdout PSNR
+    # unchanged (26.29 vs 26.15 dB, benchmarks/results/neus_c2f_r4.json,
+    # 1024 rays x 600 steps on v5e), the VERDICT r3 task-4 gate.  CPU keeps
+    # the reference's occupancy-grid lookup instead.
+    c2f = 64 if on_tpu else 0
+    fine_samples = max(64, num_samples // 4) if on_tpu else num_samples
+    cfg = NeusConfig(radius=radius, num_samples_per_ray=fine_samples,
+                     coarse_to_fine_samples=c2f,
                      train_num_rays=train_num_rays, max_steps=max_steps,
                      lambda_normal=1.0 if normals is not None else 0.0,
                      # TPU: gather-free geometry (see nerf/encoding.py)

@@ -108,12 +108,18 @@ def run_neus(scene, args):
             for K in Ks])
     masks = (scene.fg_masks if scene.fg_masks is not None
              else np.ones(scene.images.shape[:3], np.float32))
+    import jax as _jax
+    on_tpu = _jax.default_backend() in ("tpu", "axon")
     cfg = NeusConfig(
         max_steps=args.iterations,
         geometry_encoding="frequency", grad_type="analytic_fwd",
         dynamic_ray_sampling=False,
         train_num_rays=args.rays, max_train_num_rays=args.rays,
         use_occ_lookup=False, lambda_normal=0.0,
+        # coarse-to-fine empty-space skipping at a quarter fine budget:
+        # 4.1x faster at unchanged PSNR (neus_c2f_r4.json; r3 task 4)
+        coarse_to_fine_samples=64 if on_tpu else 0,
+        num_samples_per_ray=256 if on_tpu else 1024,
         ray_chunk=min(args.rays, 128),
         learned_background=scene.fg_masks is None,
         lambda_mask=1.0 if scene.fg_masks is not None else 0.0,
