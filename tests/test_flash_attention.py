@@ -78,3 +78,21 @@ def test_flash_backward_matches_xla():
     for a, b in zip(g_ref, g_flash):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-4)
+
+
+def test_heads_native_parity_and_grads():
+    """Heads-resident kernel (native (b,s,h,d) layout, per-head unrolled
+    online softmax) vs the XLA reference, forward + custom-VJP grads."""
+    import numpy as np
+
+    from v3d_tpu.ops.flash_attention import (_flash_heads_forward,
+                                             _xla_reference_bshd)
+
+    rng = np.random.RandomState(3)
+    b, s, h, d = 2, 256, 10, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    out = _flash_heads_forward(q, k, v, 128, 128, interpret=True)
+    ref = _xla_reference_bshd(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

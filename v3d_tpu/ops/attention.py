@@ -81,7 +81,10 @@ def _pick_backend(q, k) -> str:
     if sq >= 2048 and sq % 512 == 0:
         return "flash"
     if sq == 1024:
-        return "flash_jax"
+        # r4: our heads-resident kernel (no (b,s,h,d)->(b,h,s,d) layout
+        # copies) overtakes the stock jax kernel at this level
+        # (attention_heads_r4.json: 1.72 ms vs flash_jax's copy-laden path)
+        return "flash"
     return "xla"
 
 

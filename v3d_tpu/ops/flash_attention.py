@@ -120,9 +120,114 @@ def _flash_bh_bwd(block_q, block_k, res, g):
 _flash_bh.defvjp(_flash_bh_fwd, _flash_bh_bwd)
 
 
+def _flash_heads_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                        sm_scale: float, h: int, d: int):
+    """Heads-resident flash block: q/k/v blocks arrive in the model's native
+    (s, h*d) channel layout (contiguous DMA, no lane padding — the
+    (b,s,h,d)->(bh,s,d) host transposes this replaces were pure copy time),
+    with the h-head online softmax unrolled over 64-wide lane slices."""
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for i in range(h):
+        sl = pl.dslice(i * d, d)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        v = v_ref[:, sl]
+        scores = jnp.dot(q, k.T,
+                         preferred_element_type=jnp.float32) * sm_scale
+        m_prev = m_ref[:, pl.dslice(i, 1)]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:, pl.dslice(i, 1)] = m_new
+        l_ref[:, pl.dslice(i, 1)] = (
+            l_ref[:, pl.dslice(i, 1)] * alpha
+            + jnp.sum(p, axis=-1, keepdims=True))
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+        @pl.when(ki == n_k - 1)
+        def _(i=i, sl=sl):
+            o_ref[:, sl] = (
+                acc_ref[:, sl] / l_ref[:, pl.dslice(i, 1)]
+            ).astype(o_ref.dtype)
+
+
+def _flash_heads_forward(q, k, v, block_q: int, block_k: int,
+                         interpret: bool = False):
+    """q: (b, sq, h, d), k/v: (b, sk, h, d) -> (b, sq, h, d)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    sm_scale = 1.0 / math.sqrt(d)
+    grid = (b, sq // block_q, sk // block_k)
+    kernel = functools.partial(_flash_heads_kernel, sm_scale=sm_scale,
+                               h=h, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, h * d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((None, block_k, h * d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((None, block_k, h * d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, h * d),
+                               lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, h), jnp.float32),
+            pltpu.VMEM((block_q, h), jnp.float32),
+            pltpu.VMEM((block_q, h * d), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
+      v.reshape(b, sk, h * d))
+    return out.reshape(b, sq, h, d)
+
+
+def _xla_reference_bshd(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_heads(q, k, v, block_q, block_k):
+    return _flash_heads_forward(q, k, v, block_q, block_k)
+
+
+def _flash_heads_fwd(q, k, v, block_q, block_k):
+    return _flash_heads_forward(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _flash_heads_bwd(block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_reference_bshd, q, k, v)
+    return vjp(g)
+
+
+_flash_heads.defvjp(_flash_heads_fwd, _flash_heads_bwd)
+
+# heads-resident path: h*d lanes kept native.  Cap the unroll (round-2
+# Mosaic note: large unrolls explode compile); h<=10 covers the UNet's
+# ds1 (5 heads) and ds2 (10 heads) levels.
+MAX_HEADS_RESIDENT = 10
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_k: int = DEFAULT_BLOCK_K,
+                    heads_resident: bool = None) -> jnp.ndarray:
     """q: (b, sq, h, d); k/v: (b, sk, h, d) -> (b, sq, h, d).
 
     Falls back to the XLA path when shapes don't tile."""
@@ -135,6 +240,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         from v3d_tpu.ops.attention import xla_attention
 
         return xla_attention(q, k, v)
+
+    if heads_resident is None:
+        # measured A/B incl. the surrounding transposes
+        # (attention_heads_r4.json): heads-native wins at the ds2 shape
+        # (36x1024x10x64: 1.72 vs 1.91 ms) where the per-head dot is small
+        # and the (b,s,h,d)->(bh,s,d) transpose is pure overhead; at ds1
+        # (36x4096x5x64: 13.35 vs 12.43 ms) the 64-lane-sliced dots cost
+        # more than the transposes save, so the bh path stays
+        heads_resident = h > 5
+    if heads_resident and 1 < h <= MAX_HEADS_RESIDENT:
+        return _flash_heads(q, k, v, bq, bk)
 
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
