@@ -81,10 +81,11 @@ def _pick_backend(q, k) -> str:
     if sq >= 2048 and sq % 512 == 0:
         return "flash"
     if sq == 1024:
-        # r4: our heads-resident kernel (no (b,s,h,d)->(b,h,s,d) layout
-        # copies) overtakes the stock jax kernel at this level
-        # (attention_heads_r4.json: 1.72 ms vs flash_jax's copy-laden path)
-        return "flash"
+        # r4 A/B (attention_heads_r4.json + full-program bench): the
+        # heads-resident kernel removes the layout transposes but loses to
+        # the stock jax kernel here (1.71 vs 1.50 ms standalone; 11.88 vs
+        # 11.70 s full generation) — flash_jax stays
+        return "flash_jax"
     return "xla"
 
 

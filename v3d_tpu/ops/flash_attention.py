@@ -243,12 +243,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     if heads_resident is None:
         # measured A/B incl. the surrounding transposes
-        # (attention_heads_r4.json): heads-native wins at the ds2 shape
-        # (36x1024x10x64: 1.72 vs 1.91 ms) where the per-head dot is small
-        # and the (b,s,h,d)->(bh,s,d) transpose is pure overhead; at ds1
-        # (36x4096x5x64: 13.35 vs 12.43 ms) the 64-lane-sliced dots cost
-        # more than the transposes save, so the bh path stays
-        heads_resident = h > 5
+        # (attention_heads_r4.json): the heads-resident path beats the bh
+        # path at the ds2 shape (1.72 vs 1.91 ms) but loses to flash_jax
+        # there (1.50) and to the bh path at ds1 (13.35 vs 12.43 — the
+        # 64-lane-sliced dots cost more than the transposes save).  Kept as
+        # explicit opt-in; the dispatcher never routes here implicitly.
+        heads_resident = False
     if heads_resident and 1 < h <= MAX_HEADS_RESIDENT:
         return _flash_heads(q, k, v, bq, bk)
 
