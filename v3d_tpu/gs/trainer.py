@@ -355,7 +355,16 @@ class GSTrainer:
         state = DensifyState(np.array(self.stats["grad_accum"]),
                              np.array(self.stats["denom"]),
                              np.array(self.stats["max_radii"]))
-        size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+        # reference: screen-size pruning arms after the first opacity reset
+        # (train_from_vid.py:193).  With reset_mode != "hard" there is no
+        # reset; arming it suddenly mid-fit dumped ~7k oversized gaussians
+        # at once (12 dB probe shock at iter 3100,
+        # quality_refpoint_gs_noreset.json r4) — apply it continuously from
+        # densify start instead.
+        if cfg.opacity_reset_mode == "hard":
+            size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+        else:
+            size_thresh = 20.0
         g_np, _, dstats = densify_and_prune(
             g_np, state, self.rng, max_grad=cfg.densify_grad_threshold,
             min_opacity=cfg.min_opacity, extent=self.extent,
@@ -374,7 +383,16 @@ class GSTrainer:
     def _densify_event_device(self) -> Dict:
         cfg = self.cfg
         it = self.step_count
-        size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+        # reference: screen-size pruning arms after the first opacity reset
+        # (train_from_vid.py:193).  With reset_mode != "hard" there is no
+        # reset; arming it suddenly mid-fit dumped ~7k oversized gaussians
+        # at once (12 dB probe shock at iter 3100,
+        # quality_refpoint_gs_noreset.json r4) — apply it continuously from
+        # densify start instead.
+        if cfg.opacity_reset_mode == "hard":
+            size_thresh = 20.0 if it > cfg.opacity_reset_interval else 0.0
+        else:
+            size_thresh = 20.0
         if not hasattr(self, "_densify_jit"):
             import functools
 
