@@ -233,7 +233,8 @@ class ResBlock(nn.Module):
         ks = tuple(ks)
         pad = [(k // 2, k // 2) for k in ks]
 
-        h = GroupNorm32(name="in_norm", act="silu")(x)
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
         if self.up:
             h = _nearest_up2(h)
             x = _nearest_up2(x)
@@ -262,7 +263,8 @@ class ResBlock(nn.Module):
         else:
             if not self.skip_t_emb:
                 h = h + emb_out
-            h = GroupNorm32(name="out_norm", act="silu")(h)
+            h = GroupNorm32(name="out_norm")(h)
+            h = nn.silu(h)
         h = conv_nd(self.out_channels, ks, padding=pad, dtype=self.dtype,
                     zero_init=True, name="out_conv")(h)
 

@@ -52,9 +52,11 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
-        h = VAEGroupNorm(name="norm1", act="silu")(x)
+        h = VAEGroupNorm(name="norm1")(x)
+        h = nn.silu(h)
         h = conv_nd(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = VAEGroupNorm(name="norm2", act="silu")(h)
+        h = VAEGroupNorm(name="norm2")(h)
+        h = nn.silu(h)
         h = conv_nd(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != out_ch:
             x = conv_nd(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -133,7 +135,8 @@ class Encoder(nn.Module):
         h = ResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
-        h = VAEGroupNorm(name="norm_out", act="silu")(h)
+        h = VAEGroupNorm(name="norm_out")(h)
+        h = nn.silu(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return conv_nd(out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
@@ -226,7 +229,8 @@ class DecoderBase(nn.Module):
             if i != 0:
                 h = UpsampleVAE(dtype=self.dtype, name=f"up_{i}_upsample")(h)
                 curr_res *= 2
-        h = VAEGroupNorm(name="norm_out", act="silu")(h)
+        h = VAEGroupNorm(name="norm_out")(h)
+        h = nn.silu(h)
         return self.make_conv_out("conv_out")(h)
 
 

@@ -214,7 +214,8 @@ class VideoUNet(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = apply_layers(h, layers, f"out_{bi}")
 
-        h = GroupNorm32(name="out_norm", act="silu")(h)
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
         h = conv_nd(self.out_channels, (3, 3), dtype=self.dtype, zero_init=True,
                     name="out_conv")(h)
         return h.astype(jnp.float32)
