@@ -249,24 +249,33 @@ if __name__ == "__main__":
     ap.add_argument("--quality", action="store_true",
                     help="also run the recon quality gate at the reference "
                          "operating point (512^2, GS 4000 iters, NeuS 3000 "
-                         "steps) and write quality_refpoint.json")
+                         "steps): the shipped transient-free recipe "
+                         "(quality_refpoint_noreset.json) AND the "
+                         "reference-semantics hard-reset recipe "
+                         "(quality_refpoint_hardreset.json) so parity "
+                         "comparisons stay apples-to-apples")
     cli = ap.parse_args()
     if cli.quality:
         import subprocess
 
-        # transient-free recipe (r4 task 5): opacity decay instead of the
-        # reference's hard resets — 33.02 dB holdout with max probe
-        # transient 2.14 dB and a 423 s fit (hard-reset variant: 33.4 dB,
-        # 20.6 dB shocks, 715 s; both JSONs in benchmarks/results/)
-        rc = subprocess.call([
-            sys.executable, "benchmarks/quality_bench.py", "--res", "512",
-            "--gs-iters", "4000", "--gs-dssim", "1.0",
-            "--gs-reset-mode", "none", "--gs-opacity-decay", "0.995",
-            "--neus-steps", "3000",
-            "--tag", "refpoint"],
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        if rc != 0:
-            sys.exit(rc)
+        here = os.path.dirname(os.path.abspath(__file__))
+        # row 1 — shipped recipe (recon_gs defaults): per-step opacity
+        # decay, no hard resets; 33.02 dB holdout, max probe transient
+        # 2.14 dB, 423 s fit.  row 2 — reference semantics
+        # (train_from_vid.py:170-196 reset schedule): 33.4 dB with ~20 dB
+        # reset shocks, 715 s.  Two tags so neither number silently
+        # redefines the other (ADVICE r4).
+        for tag, reset_mode, decay, extra in (
+                ("refpoint_noreset", "none", "0.995", []),
+                ("refpoint_hardreset", "hard", "1.0", ["--skip-neus"])):
+            rc = subprocess.call([
+                sys.executable, "benchmarks/quality_bench.py",
+                "--res", "512", "--gs-iters", "4000", "--gs-dssim", "1.0",
+                "--gs-reset-mode", reset_mode,
+                "--gs-opacity-decay", decay,
+                "--neus-steps", "3000", "--tag", tag] + extra, cwd=here)
+            if rc != 0:
+                sys.exit(rc)
     if cli.mesh is not None:
         spec = dict(kv.split("=") for kv in cli.mesh.split(","))
         n = int(spec.pop("data"))

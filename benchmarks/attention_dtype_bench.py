@@ -79,8 +79,8 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
                        f"attention_dtype_{args.tag}.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+    from benchmarks._io import write_json
+    write_json(out, results)
     print("wrote", out, flush=True)
 
 

@@ -88,10 +88,9 @@ def main():
 
     path = os.path.join(repo, "benchmarks", "results",
                         "attention_heads_r4.json")
-    with open(path, "w") as f:
-        json.dump({"iters": [N_SHORT, N_LONG], "dtype": "bf16",
-                   "results": results}, f, indent=1)
-    print("wrote", path)
+    from benchmarks._io import write_json
+    write_json(path, {"iters": [N_SHORT, N_LONG], "dtype": "bf16",
+                      "results": results})
 
 
 if __name__ == "__main__":

@@ -74,8 +74,8 @@ def main():
 
     out = os.path.join(os.path.dirname(__file__), "results",
                        "attention_sweep2.json")
-    with open(out, "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    from benchmarks._io import write_json
+    write_json(out, RESULTS)
     print("wrote", out, flush=True)
 
 

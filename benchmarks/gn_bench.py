@@ -95,12 +95,11 @@ def main():
         row["xla_stats_only"] = bench("xla_stats_only", stats_only, x)
         results[key] = row
 
+    from benchmarks._io import write_json
+
     outpath = os.path.join(repo, "benchmarks", "results", "gn_bench_r4.json")
-    with open(outpath, "w") as f:
-        json.dump({"iters": [N_SHORT, N_LONG], "dtype": "bf16",
-               "results": results}, f,
-                  indent=1)
-    print("wrote", outpath)
+    write_json(outpath, {"iters": [N_SHORT, N_LONG], "dtype": "bf16",
+                         "results": results})
 
 
 if __name__ == "__main__":

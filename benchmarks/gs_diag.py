@@ -153,9 +153,8 @@ def run(args):
     if args.tag:
         path = os.path.join(_repo, "benchmarks", "results",
                             f"gs_diag_{args.tag}.json")
-        with open(path, "w") as f:
-            json.dump(result, f, indent=1)
-        print("wrote", path)
+        from benchmarks._io import write_json
+        write_json(path, result)
     return result
 
 

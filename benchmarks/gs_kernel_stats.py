@@ -164,9 +164,8 @@ def main():
     if args.tag:
         path = os.path.join(_repo, "benchmarks", "results",
                             f"gs_kernel_stats_{args.tag}.json")
-        with open(path, "w") as f:
-            json.dump(res, f, indent=1)
-        print("wrote", path)
+        from benchmarks._io import write_json
+        write_json(path, res)
 
 
 if __name__ == "__main__":

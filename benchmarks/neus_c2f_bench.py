@@ -106,9 +106,8 @@ def main():
     ]
     path = os.path.join(_repo, "benchmarks", "results",
                         f"neus_{args.tag}.json")
-    with open(path, "w") as f:
-        json.dump(results, f, indent=1)
-    print("wrote", path)
+    from benchmarks._io import write_json
+    write_json(path, results)
 
 
 if __name__ == "__main__":

@@ -352,9 +352,8 @@ def main():
     print(json.dumps(out), flush=True)
     path = os.path.join(_repo, "benchmarks", "results",
                         f"quality_{args.tag}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote", path)
+    from benchmarks._io import write_json
+    write_json(path, out)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,8 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
                      lambda_lpips: float = 0.0, radius: float = 2.0,
                      elevation: float = 0.0, fov: float = 60.0,
                      white_background: bool = True, test_every: int = 1000,
-                     seed: int = 0):
+                     seed: int = 0, opacity_reset_mode: str = "none",
+                     opacity_decay: float = 0.995):
     from v3d_tpu.data.cameras import orbit_cameras
     from v3d_tpu.data.video_io import read_video, write_video
     from v3d_tpu.gs.losses import psnr
@@ -32,9 +33,17 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
     t, h, w = frames.shape[:3]
     cams = orbit_cameras(t, radius=radius, elevation=elevation, fov_deg=fov,
                          resolution=h, images=list(frames))
+    # the shipped recipe is transient-free: per-step opacity decay with NO
+    # hard resets — 33.02 dB holdout / 423 s at the reference budget with
+    # max probe transient 2.14 dB (quality_refpoint_gs_noreset.json); the
+    # reference's reset schedule (train_from_vid.py:170-196) costs ~20 dB
+    # shocks and 715 s and stays one flag away
+    # (--opacity-reset-mode hard --opacity-decay 1.0)
     cfg = GSTrainConfig(iterations=iterations, lambda_dssim=lambda_dssim,
                         lambda_lpips=lambda_lpips,
-                        white_background=white_background)
+                        white_background=white_background,
+                        opacity_reset_mode=opacity_reset_mode,
+                        opacity_decay=opacity_decay)
     lpips_fn = None
     if lambda_lpips > 0:
         from v3d_tpu.metrics.lpips import load_lpips
@@ -79,10 +88,23 @@ def main():
     p.add_argument("--radius", type=float, default=2.0)
     p.add_argument("--elevation", type=float, default=0.0)
     p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--opacity-reset-mode", default="none",
+                   choices=["none", "hard"],
+                   help="'none' (default) = shipped transient-free recipe "
+                        "(33.02 dB/423 s at the refpoint); 'hard' = "
+                        "reference reset schedule "
+                        "(train_from_vid.py:170-196)")
+    p.add_argument("--opacity-decay", type=float, default=0.995,
+                   help="per-step multiplicative opacity decay; the "
+                        "floater pressure of the transient-free recipe "
+                        "(use 1.0 with --opacity-reset-mode hard for "
+                        "reference-faithful behavior)")
     args = p.parse_args()
     train_from_video(args.video, args.output, args.iterations, args.num_pts,
                      args.lambda_dssim, args.lambda_lpips, args.radius,
-                     args.elevation, args.fov)
+                     args.elevation, args.fov,
+                     opacity_reset_mode=args.opacity_reset_mode,
+                     opacity_decay=args.opacity_decay)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,12 @@ def train_iterative(input_image: str, output: str, checkpoint: str = None,
     frames_f = frames.astype(np.float32) / 255.0
     t, h = frames.shape[0], frames.shape[1]
     cams = orbit_cameras(t, resolution=h, images=list(frames_f))
-    trainer = GSTrainer(cams, GSTrainConfig(iterations=iterations),
+    # transient-free shipped recipe (see apps/recon_gs.py) — resampling
+    # perturbs the targets every resample_period anyway, so reset shocks
+    # would compound
+    trainer = GSTrainer(cams, GSTrainConfig(iterations=iterations,
+                                            opacity_reset_mode="none",
+                                            opacity_decay=0.995),
                         num_pts=num_pts, seed=seed)
     rng = jax.random.PRNGKey(seed)
 

@@ -67,11 +67,16 @@ def run_gs(scene, args):
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
 
     cams = scene_cameras(scene)
+    # transient-free shipped recipe by default (see apps/recon_gs.py);
+    # reference reset semantics one flag away
     cfg = GSTrainConfig(iterations=args.iterations,
                         lambda_dssim=args.lambda_dssim,
                         max_per_coarse=args.kc,
                         max_per_tile=getattr(args, "max_per_tile", 256),
-                        tile_chunk=getattr(args, "tile_chunk", 32))
+                        tile_chunk=getattr(args, "tile_chunk", 32),
+                        opacity_reset_mode=getattr(
+                            args, "opacity_reset_mode", "none"),
+                        opacity_decay=getattr(args, "opacity_decay", 0.995))
     trainer = GSTrainer(cams, cfg, num_pts=args.num_pts, seed=args.seed,
                         radius=args.init_radius)
 
@@ -178,6 +183,11 @@ def main():
     p.add_argument("--tile-chunk", type=int, default=32)
     p.add_argument("--rays", type=int, default=256)
     p.add_argument("--mc-resolution", type=int, default=128)
+    p.add_argument("--opacity-reset-mode", default="none",
+                   choices=["none", "hard"],
+                   help="'none' (default) = transient-free recipe; 'hard' "
+                        "= reference reset schedule")
+    p.add_argument("--opacity-decay", type=float, default=0.995)
     p.add_argument("--log-every", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()

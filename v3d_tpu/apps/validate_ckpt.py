@@ -281,6 +281,19 @@ def check_all(ckpt_dir: str, report_path: str, refpoint_fit: bool) -> dict:
     u2net_w = find("u2net*.npz", "u2net*.pth")
     clip_w = find("*clip*.npz")
 
+    # Absent checkpoints become a PLAN, not a failure (VERDICT r4 task 7):
+    # with an empty dir this harness documents exactly what runs on weights
+    # day — the gate each artifact unlocks and the one command that runs it
+    # — and exits 0.
+    plan = []
+
+    def planned(artifact, looked_for, gate, command):
+        plan.append({"artifact": artifact, "looked_for": looked_for,
+                     "gate": gate, "command": command})
+        print(f"[plan] {artifact}: ABSENT (looked for {looked_for})\n"
+              f"       gate: {gate}\n"
+              f"       run:  {command}")
+
     if main_ckpt:
         holder = {}
         stage("conversion",
@@ -291,8 +304,42 @@ def check_all(ckpt_dir: str, report_path: str, refpoint_fit: bool) -> dict:
         stage("sampling_loop_40db",
               lambda: check_full_loop(main_ckpt) or ">=40dB")
     else:
-        report["stages"]["conversion"] = {
-            "ok": False, "error": "no V3D/svd ckpt found in dir"}
+        planned(
+            "V3D_512.ckpt / svd_xt.safetensors",
+            "V3D_512.ckpt, *.ckpt, svd_xt*.safetensors, *.safetensors",
+            "key-prefix split conversion (V3D_512.py:145-162) + "
+            "torch-vs-flax forward parity (rel<2e-3) + full 25-step "
+            "sampling-loop parity, per-frame PSNR >= 40 dB",
+            f"python -m v3d_tpu.apps.validate_ckpt --all {ckpt_dir}")
+
+    if not lpips_w:
+        planned(
+            "LPIPS VGG weights", "lpips_vgg*.npz, vgg16*.npz, vgg*.npz",
+            "LPIPS ingestion smoke + the V3D readme step-4 recipe's "
+            "perceptual term: lambda_dssim=1.0 lambda_lpips=2.0 refpoint "
+            "fit (train_from_vid.py:130-137), scored on holdout views",
+            "python benchmarks/quality_bench.py --res 512 --gs-iters 4000 "
+            "--skip-neus --gs-dssim 1.0 --lpips-npz "
+            f"{ckpt_dir}/lpips_vgg.npz --tag refpoint_lpips   "
+            f"(or: validate_ckpt --all {ckpt_dir} --refpoint-fit)")
+    if not dpt_w:
+        planned(
+            "omnidata DPT normal ckpt", "omnidata*dpt*, dpt*.npz, dpt*.ckpt",
+            "DPT normal-predictor ingestion; unlocks NeuS normal "
+            "supervision (mesh_recon/datasets/v3d.py:173)",
+            f"python -m v3d_tpu.apps.validate_ckpt --all {ckpt_dir}")
+    if not u2net_w:
+        planned(
+            "U2Net weights", "u2net*.npz, u2net*.pth",
+            "background-removal (rembg-equivalent) ingestion for "
+            "preprocessing (V3D_512.py:210)",
+            f"python -m v3d_tpu.apps.validate_ckpt --all {ckpt_dir}")
+    if not clip_w:
+        planned(
+            "OpenCLIP ViT-H visual tower", "*clip*.npz",
+            "CLIP conditioner + safety-head ingestion "
+            "(encoders/modules.py:594; p_head/w_head npz)",
+            f"python -m v3d_tpu.apps.validate_ckpt --all {ckpt_dir}")
 
     if lpips_w:
         def _lpips():
@@ -348,11 +395,16 @@ def check_all(ckpt_dir: str, report_path: str, refpoint_fit: bool) -> dict:
 
     report["wall_s"] = round(time.time() - report["t_start"], 1)
     del report["t_start"]
+    report["plan"] = plan
+    # ok = every stage that actually RAN passed; absent artifacts are plan
+    # entries, not failures (empty dir -> full plan printed, exit 0)
     report["ok"] = all(s.get("ok") for s in report["stages"].values())
     with open(report_path, "w") as f:
         json.dump(report, f, indent=1)
-    print(f"[all] report -> {report_path}  "
-          f"({'ALL OK' if report['ok'] else 'FAILURES PRESENT'})")
+    status = "ALL OK" if report["ok"] else "FAILURES PRESENT"
+    if plan:
+        status += f"; {len(plan)} artifact(s) absent -> plan above"
+    print(f"[all] report -> {report_path}  ({status})")
     return report
 
 

@@ -45,15 +45,17 @@ class ChannelPartialGroupNorm(nn.Module):
 
     flax's nn.GroupNorm reshapes to (..., G, C/G) and reduces over the C/G
     minor slice — a 10-wide group straddles the 128-wide lane dim at ~8%
-    efficiency, and the resulting convert_reduce fusions were 28% of the
-    whole UNet denoise step (129 ms/step, benchmarks/profile_unet_step
-    trace).  The math lives in ops/fused_groupnorm: per-channel moments
-    with channels on lanes, group-combined on (B, C) partials — lowered to
-    the fused Pallas two-pass kernels on TPU (the r4 trace still showed
-    137 ms/step of XLA convert_reduce stat fusions), XLA formula elsewhere.
-    ``act="silu"`` fuses the SiLU epilogue of the GN-SiLU-conv ResBlock
-    pattern into the normalize pass.  Param tree matches nn.GroupNorm
-    (scale/bias of (C,))."""
+    efficiency.  The math lives in ops/fused_groupnorm: per-channel
+    moments with channels on lanes, group-combined on (B, C) partials —
+    evaluated by the XLA formula by default (the on-chip A/B in
+    benchmarks/results/gn_bench_r4.json showed standalone XLA GN already
+    bandwidth-bound; the trace's convert_reduce fusions are conv+GN-stat
+    fusions with the convs inside, ARCHITECTURE.md §4b).  The Pallas
+    two-pass kernels remain opt-in via V3D_GN_BACKEND for layout A/Bs.
+    ``act="silu"`` requests a fused SiLU epilogue where the backend
+    supports it (the XLA default applies SiLU as a separate op — fusing it
+    into the GN f32 epilogue regressed full generation 11.70 -> 11.92 s).
+    Param tree matches nn.GroupNorm (scale/bias of (C,))."""
 
     num_groups: int = 32
     epsilon: float = 1e-5

@@ -26,9 +26,10 @@ from v3d_tpu.ops.attention import attention
 
 class VAEGroupNorm(nn.Module):
     """GroupNorm(32, eps=1e-6) in f32 (model.py:52-56), with an optional
-    fused SiLU epilogue.  Lowered through ops/fused_groupnorm (Pallas on
-    TPU); the inner ChannelPartialGroupNorm is named GroupNorm_0 so the
-    param tree matches the previous nn.GroupNorm delegation."""
+    SiLU epilogue.  Lowered through ops/fused_groupnorm (XLA formula by
+    default per the gn_bench_r4 A/B; Pallas opt-in); the inner
+    ChannelPartialGroupNorm is named GroupNorm_0 so the param tree matches
+    the previous nn.GroupNorm delegation."""
 
     act: Optional[str] = None
 

@@ -193,6 +193,90 @@ def _flash_heads_forward(q, k, v, block_q: int, block_k: int,
     return out.reshape(b, sq, h, d)
 
 
+def _flash_packed_forward(q3, k3, v3, h: int, block_q: int, block_k: int,
+                          interpret: bool = False):
+    """Channel-packed flash: q3/k3/v3 stay in the model's native
+    (b, s, h*d) layout and the kernel grid fetches each head's (block, d)
+    slice DIRECTLY via the BlockSpec channel index — the
+    (b,s,h,d)->(bh,s,d) transposes of the bh path (pure copy time, ~43
+    ms/step in the r4 trace) never materialize, while the inner kernel
+    (full-width d-contraction dots, online softmax) is byte-identical to
+    the bh path.  Unlike the r4 heads-resident kernel there is NO in-kernel
+    lane slicing (the 64-offset slices cost lane rotates); the head choice
+    rides the leading grid dim."""
+    b, sq, hd = q3.shape
+    d = hd // h
+    sk = k3.shape[1]
+    sm_scale = 1.0 / math.sqrt(d)
+    grid = (b * h, sq // block_q, sk // block_k)
+    kernel = functools.partial(_flash_kernel, sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d),
+                         lambda g, qi, ki: (g // h, qi, g % h)),
+            pl.BlockSpec((None, block_k, d),
+                         lambda g, qi, ki: (g // h, ki, g % h)),
+            pl.BlockSpec((None, block_k, d),
+                         lambda g, qi, ki: (g // h, ki, g % h)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d),
+                               lambda g, qi, ki: (g // h, qi, g % h)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q3, k3, v3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_packed(q3, k3, v3, h, block_q, block_k):
+    return _flash_packed_forward(q3, k3, v3, h, block_q, block_k)
+
+
+def _flash_packed_fwd(q3, k3, v3, h, block_q, block_k):
+    return _flash_packed_forward(q3, k3, v3, h, block_q, block_k), (q3, k3, v3)
+
+
+def _flash_packed_bwd(h, block_q, block_k, res, g):
+    q3, k3, v3 = res
+    b, sq, hd = q3.shape
+    d = hd // h
+
+    def ref(q3, k3, v3):
+        sk = k3.shape[1]
+        out = _xla_reference_bshd(q3.reshape(b, sq, h, d),
+                                  k3.reshape(b, sk, h, d),
+                                  v3.reshape(b, sk, h, d))
+        return out.reshape(b, sq, hd)
+
+    _, vjp = jax.vjp(ref, q3, k3, v3)
+    return vjp(g)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           block_q: int = DEFAULT_BLOCK_Q,
+                           block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+    """(b, s, h, d) API over the channel-packed kernel: both reshapes are
+    free (h*d contiguous), so the whole call is transpose-free."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    q3 = q.reshape(b, sq, h * d)
+    k3 = k.reshape(b, sk, h * d)
+    v3 = v.reshape(b, sk, h * d)
+    out = _flash_packed(q3, k3, v3, h, min(block_q, sq), min(block_k, sk))
+    return out.reshape(b, sq, h, d)
+
+
 def _xla_reference_bshd(q, k, v):
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,

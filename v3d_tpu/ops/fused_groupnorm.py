@@ -21,6 +21,13 @@ leading grid dim — CLAUDE.md):
 Totals 2 reads + 1 write of the activation — the two-pass optimum (a
 single-pass variant would need the whole per-sample slice resident; 5D
 temporal GN slices are 47MB > VMEM).
+
+Measured outcome (benchmarks/results/gn_bench_r4.json): the 137 ms of
+convert_reduce fusions in the trace turned out to be conv+GN-stat FUSIONS
+(the convs are inside them — ARCHITECTURE.md §4b); standalone XLA GN is
+already bandwidth-bound (0.295 ms at the ds1 shape) and this Pallas
+pipeline is ~2x that.  **XLA is therefore the default backend**; the
+kernels remain as forceable A/B backends only.
 """
 
 from __future__ import annotations
@@ -171,8 +178,11 @@ def group_norm_act(x, scale, bias, num_groups=32, eps=1e-5,
                    silu: bool = False):
     """GroupNorm in f32 (+ optional fused SiLU), output in x.dtype.
 
-    On TPU backends routes to the fused Pallas kernels; elsewhere (and for
-    unsupported shapes) the XLA reference formula.  Gradients always go
+    Default backend is the XLA formula on every platform: the on-chip A/B
+    (benchmarks/results/gn_bench_r4.json) showed standalone XLA GN already
+    near bandwidth-bound, with the two-kernel Pallas pipeline ~2x slower.
+    The Pallas kernels stay forceable via ``set_default_backend`` /
+    ``V3D_GN_BACKEND`` for in-program layout A/Bs.  Gradients always go
     through the XLA formula (jax.vjp recompute) — GN backward is off the
     generation hot path.
     """
@@ -183,7 +193,7 @@ def _gn_fwd_impl(x, scale, bias, num_groups, eps, silu):
     backend = _FORCE_BACKEND
     if backend is None:
         # measured (benchmarks/results/gn_bench_r4.json): standalone XLA GN
-        # is already near bandwidth-bound (0.28 ms at the ds1 shape) and the
+        # is already near bandwidth-bound (0.295 ms at the ds1 shape) and the
         # two-kernel Pallas pipeline is ~2x that, so XLA stays the default;
         # the kernel remains forceable for in-program layout A/Bs
         backend = "xla"
