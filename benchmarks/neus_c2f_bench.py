@@ -67,6 +67,8 @@ def run_variant(tag: str, imgs, masks, dirs, poses_gl, train_ids, hold_ids,
         rgb, _, _ = trainer.render_image(poses_gl[i])
         hold.append(psnr(np.clip(rgb, 0, 1), imgs[i]))
     out = {"variant": tag, "ms_per_step": round(ms, 1),
+           "neus_field": cfg.geometry_encoding,
+           "neus_grad_type": cfg.grad_type,
            "holdout_psnr_db": round(float(np.mean(hold)), 2),
            "steps": steps, "samples": samples, "rays": rays, "c2f": c2f}
     print(json.dumps(out), flush=True)

@@ -263,8 +263,14 @@ def bench_neus(res: int, steps: int):
     focal = res / (2 * np.tan(np.deg2rad(30.0)))
     dirs = get_ray_directions(res, res, focal)
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    # the SHIPPED recon_neus recipe (apps/recon_neus.py:84-94): surface-
+    # guided c2f with quarter fine budget on TPU — the quality gate must
+    # measure what the product CLI runs (r4 gate used 512 uniform samples:
+    # 29.24 dB in 2029 s; the c2f recipe holds PSNR at ~4x the step rate,
+    # neus_c2f_r4.json)
     cfg = NeusConfig(
-        num_samples_per_ray=512 if on_tpu else 64,
+        num_samples_per_ray=256 if on_tpu else 64,
+        coarse_to_fine_samples=64 if on_tpu else 0,
         train_num_rays=512 if on_tpu else 64,
         max_train_num_rays=512 if on_tpu else 64,
         dynamic_ray_sampling=False, lambda_normal=0.0,
@@ -308,6 +314,10 @@ def bench_neus(res: int, steps: int):
         rgb, _, _ = trainer.render_image(poses_gl[i])
         hold_psnrs.append(psnr(np.clip(rgb, 0, 1), imgs[i]))
     return {"neus_steps": steps,
+            "neus_field": cfg.geometry_encoding,
+            "neus_grad_type": cfg.grad_type,
+            "neus_samples": cfg.num_samples_per_ray,
+            "neus_c2f": cfg.coarse_to_fine_samples,
             "neus_holdout_psnr_db": round(float(np.mean(hold_psnrs)), 2),
             "neus_wall_s": round(_time.time() - t_start, 1),
             "neus_traj": traj}

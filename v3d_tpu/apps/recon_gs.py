@@ -22,7 +22,7 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
                      elevation: float = 0.0, fov: float = 60.0,
                      white_background: bool = True, test_every: int = 1000,
                      seed: int = 0, opacity_reset_mode: str = "none",
-                     opacity_decay: float = 0.995):
+                     opacity_decay: float = 0.995, capacity: int = 300_000):
     from v3d_tpu.data.cameras import orbit_cameras
     from v3d_tpu.data.video_io import read_video, write_video
     from v3d_tpu.gs.losses import psnr
@@ -49,8 +49,11 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
         from v3d_tpu.metrics.lpips import load_lpips
 
         lpips_fn = load_lpips()
-    trainer = GSTrainer(cams, cfg, num_pts=num_pts, seed=seed, radius=radius,
-                        lpips_fn=lpips_fn)
+    # 100k init -> 300k cap is the reference operating point measured in
+    # quality_refpoint_gs_noreset.json (the trainer ctor default is
+    # 2*num_pts; the refpoint recipe runs a 3x cap)
+    trainer = GSTrainer(cams, cfg, num_pts=num_pts, capacity=capacity,
+                        seed=seed, radius=radius, lpips_fn=lpips_fn)
     os.makedirs(output, exist_ok=True)
     # run-reproducibility snapshot (reference utils/callbacks.py:52-95)
     from v3d_tpu.utils.snapshot import snapshot_run
@@ -94,6 +97,9 @@ def main():
                         "(33.02 dB/423 s at the refpoint); 'hard' = "
                         "reference reset schedule "
                         "(train_from_vid.py:170-196)")
+    p.add_argument("--capacity", type=int, default=300_000,
+                   help="gaussian slot capacity (densification headroom); "
+                        "the refpoint recipe is 100k init -> 300k cap")
     p.add_argument("--opacity-decay", type=float, default=0.995,
                    help="per-step multiplicative opacity decay; the "
                         "floater pressure of the transient-free recipe "
@@ -104,7 +110,8 @@ def main():
                      args.lambda_dssim, args.lambda_lpips, args.radius,
                      args.elevation, args.fov,
                      opacity_reset_mode=args.opacity_reset_mode,
-                     opacity_decay=args.opacity_decay)
+                     opacity_decay=args.opacity_decay,
+                     capacity=args.capacity)
 
 
 if __name__ == "__main__":

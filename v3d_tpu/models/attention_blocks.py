@@ -7,13 +7,73 @@ the module compute dtype (bf16 in production).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
 
 from v3d_tpu.models.layers import LayerNormF32, dense, conv_nd, GroupNorm32
-from v3d_tpu.ops.attention import attention
+from v3d_tpu.ops.attention import attention, attention_bhsd
+
+# A/B hook (VERDICT r4 task 3a): with layout "bhsd" the self-attention QKV
+# projections emit (b, h, s, d) DIRECTLY from the projection einsum — the
+# (b,s,h,d)->(b,h,s,d)/(bh,s,d) layout copies around the attention custom
+# calls (~43 ms/step in the r4 trace) ride the matmul epilogue instead of
+# standing as separate copy fusions (same trick as the temporal path,
+# ops/temporal_attention.py header).  Param trees are IDENTICAL to the
+# dense path (same names/shapes), so checkpoints and parity tests see no
+# difference.
+_PROJ_LAYOUT = os.environ.get("V3D_ATTN_PROJ_LAYOUT") or "bshd"
+
+
+def set_proj_layout(name: str) -> None:
+    global _PROJ_LAYOUT
+    assert name in ("bshd", "bhsd")
+    _PROJ_LAYOUT = name
+
+
+class _QKVProjBHSD(nn.Module):
+    """nn.Dense(inner, use_bias=False) with the head split + transpose
+    folded into the projection einsum: (b,s,c) -> (b,h,s,dh).  Param tree
+    matches dense(name=...): {"kernel": (c, h*dh)} in f32."""
+
+    heads: int
+    dim_head: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (c, self.heads * self.dim_head), jnp.float32)
+        dt = self.dtype or x.dtype
+        w = kernel.astype(dt).reshape(c, self.heads, self.dim_head)
+        return jnp.einsum("bsc,chd->bhsd", x.astype(dt), w)
+
+
+class _OutProjBHSD(nn.Module):
+    """nn.Dense(out_dim) consuming (b,h,s,dh) directly: the inverse
+    head-merge rides the contraction.  Param tree matches dense(name=...):
+    {"kernel": (h*dh, out), "bias": (out,)} in f32."""
+
+    features: int
+    heads: int
+    dim_head: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, o):
+        inner = self.heads * self.dim_head
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (inner, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        dt = self.dtype or o.dtype
+        w = kernel.astype(dt).reshape(self.heads, self.dim_head,
+                                      self.features)
+        return (jnp.einsum("bhsd,hdc->bsc", o.astype(dt), w)
+                + bias.astype(dt))
 
 
 class CrossAttention(nn.Module):
@@ -30,6 +90,20 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         out_dim = self.query_dim if self.query_dim is not None else x.shape[-1]
         ctx = x if context is None else context
+        # the bhsd layout only pays where the flash kernels run (>=1024
+        # tokens, d=64 self-attention); tiny/cross shapes stay on the
+        # dense + (b,s,h,d) path
+        if (_PROJ_LAYOUT == "bhsd" and context is None
+                and self.dim_head == 64 and x.shape[1] >= 1024):
+            q = _QKVProjBHSD(self.heads, self.dim_head, dtype=self.dtype,
+                             name="to_q")(x)
+            k = _QKVProjBHSD(self.heads, self.dim_head, dtype=self.dtype,
+                             name="to_k")(ctx)
+            v = _QKVProjBHSD(self.heads, self.dim_head, dtype=self.dtype,
+                             name="to_v")(ctx)
+            out = attention_bhsd(q, k, v)
+            return _OutProjBHSD(out_dim, self.heads, self.dim_head,
+                                dtype=self.dtype, name="to_out")(out)
         q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)

@@ -14,6 +14,7 @@ Shapes follow (batch, seq, heads, head_dim).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -21,11 +22,24 @@ import jax.numpy as jnp
 
 _DEFAULT_BACKEND = "auto"
 
+# full-program A/B override for the spatial (>=1024-token) levels only —
+# benchmarks/generation_variants.py sets this to route ds1/ds2 through the
+# channel-packed kernel without touching the measured "auto" picks
+_SPATIAL_OVERRIDE = os.environ.get("V3D_SPATIAL_ATTN") or None
+
 
 def set_default_backend(name: str) -> None:
     global _DEFAULT_BACKEND
-    assert name in ("auto", "xla", "flash", "flash_jax")
+    assert name in ("auto", "xla", "flash", "flash_jax", "packed")
     _DEFAULT_BACKEND = name
+
+
+def set_spatial_override(name) -> None:
+    """Route the >=1024-token self-attention levels to ``name`` (None =
+    measured auto picks).  A/B hook only."""
+    global _SPATIAL_OVERRIDE
+    assert name in (None, "packed", "flash", "flash_jax")
+    _SPATIAL_OVERRIDE = name
 
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -34,6 +48,16 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
         backend = _pick_backend(q, k)
+    if backend == "packed":
+        from v3d_tpu.ops.flash_attention import flash_attention_packed
+
+        bq, bk = (512, 1024) if q.dtype == jnp.bfloat16 else (256, 512)
+        sq, sk = q.shape[1], k.shape[1]
+        while bq > 128 and sq % bq != 0:
+            bq //= 2
+        while bk > 128 and sk % bk != 0:
+            bk //= 2
+        return flash_attention_packed(q, k, v, bq, bk)
     if backend == "flash_jax":
         return jax_flash_attention(q, k, v)
     if backend == "flash":
@@ -61,6 +85,26 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return xla_attention(q, k, v)
 
 
+def _pick_backend_dims(sq: int, sk: int, d: int) -> str:
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if not (on_tpu and d == 64 and sq == sk):
+        return "xla"
+    if _SPATIAL_OVERRIDE and sq >= 1024:
+        return _SPATIAL_OVERRIDE
+    if sq >= 2048 and sq % 512 == 0:
+        return "flash"
+    if sq == 1024:
+        # r4 A/B (attention_heads_r4.json + full-program bench): the
+        # heads-resident kernel removes the layout transposes but loses to
+        # the stock jax kernel here (1.71 vs 1.50 ms standalone; 11.88 vs
+        # 11.70 s full generation) — flash_jax stays
+        return "flash_jax"
+    return "xla"
+
+
 def _pick_backend(q, k) -> str:
     # Measured on v5e (benchmarks/results/attention_sweep.json +
     # attention_dtype_r3_dtype.json).  At the 4096-token spatial level with
@@ -72,21 +116,54 @@ def _pick_backend(q, k) -> str:
     # (135.8 vs 139.7 rel units); at 512 tokens plain XLA wins (74 vs 88)
     # — the kernel launch no longer pays.  Tiny/cross shapes stay on XLA.
     b, sq, h, d = q.shape
-    try:
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    if not (on_tpu and d == 64 and sq == k.shape[1]):
-        return "xla"
-    if sq >= 2048 and sq % 512 == 0:
-        return "flash"
-    if sq == 1024:
-        # r4 A/B (attention_heads_r4.json + full-program bench): the
-        # heads-resident kernel removes the layout transposes but loses to
-        # the stock jax kernel here (1.71 vs 1.50 ms standalone; 11.88 vs
-        # 11.70 s full generation) — flash_jax stays
-        return "flash_jax"
-    return "xla"
+    return _pick_backend_dims(sq, k.shape[1], d)
+
+
+def attention_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   backend: Optional[str] = None) -> jnp.ndarray:
+    """Attention on the (b, h, s, d) layout — the layout the flash kernels
+    batch over, produced directly by the bhsd projection einsums
+    (models/attention_blocks._QKVProjBHSD), so NO transposes surround the
+    custom call: our bh kernel takes a free reshape to (b*h, s, d); the
+    stock jax kernel consumes (b,h,s,d) natively."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    backend = backend or _DEFAULT_BACKEND
+    if backend in ("auto", "packed"):
+        backend = _pick_backend_dims(sq, sk, d)
+    if backend == "flash_jax":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        blk = min(1024, sq)
+        sizes = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+            block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+            block_q_dq=blk,
+        )
+        return flash_attention(q, k, v, sm_scale=1.0 / (d ** 0.5),
+                               block_sizes=sizes)
+    if backend in ("flash", "packed"):
+        from v3d_tpu.ops.flash_attention import _flash_bh
+
+        bq, bk = (512, 1024) if q.dtype == jnp.bfloat16 else (256, 512)
+        while bq > 128 and sq % bq != 0:
+            bq //= 2
+        while bk > 128 and sk % bk != 0:
+            bk //= 2
+        out = _flash_bh(q.reshape(b * h, sq, d), k.reshape(b * h, sk, d),
+                        v.reshape(b * h, sk, d), bq, bk)
+        return out.reshape(b, h, sq, d)
+    # xla fallback on the bhsd layout
+    dtype = q.dtype
+    scale = 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
 def jax_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
