@@ -16,15 +16,17 @@ import flax.linen as nn
 from v3d_tpu.models.layers import LayerNormF32, dense, conv_nd, GroupNorm32
 from v3d_tpu.ops.attention import attention, attention_bhsd
 
-# A/B hook (VERDICT r4 task 3a): with layout "bhsd" the self-attention QKV
+# Production default since r5: with layout "bhsd" the self-attention QKV
 # projections emit (b, h, s, d) DIRECTLY from the projection einsum — the
 # (b,s,h,d)->(b,h,s,d)/(bh,s,d) layout copies around the attention custom
 # calls (~43 ms/step in the r4 trace) ride the matmul epilogue instead of
 # standing as separate copy fusions (same trick as the temporal path,
 # ops/temporal_attention.py header).  Param trees are IDENTICAL to the
 # dense path (same names/shapes), so checkpoints and parity tests see no
-# difference.
-_PROJ_LAYOUT = os.environ.get("V3D_ATTN_PROJ_LAYOUT") or "bshd"
+# difference.  Full-generation A/B (generation_variants_r5.json): bhsd +
+# stock-jax flash at both spatial levels = 11.38 s vs 11.71 s for the r4
+# bshd routing; "bshd" stays one env var away for A/Bs.
+_PROJ_LAYOUT = os.environ.get("V3D_ATTN_PROJ_LAYOUT") or "bhsd"
 
 
 def set_proj_layout(name: str) -> None:

@@ -119,6 +119,26 @@ def _pick_backend(q, k) -> str:
     return _pick_backend_dims(sq, k.shape[1], d)
 
 
+def _pick_backend_bhsd(sq: int, sk: int, d: int) -> str:
+    """Measured auto routing for the (b,h,s,d) layout (the production
+    default since r5).  Full-generation A/B (generation_variants_r5.json):
+    with the layout copies gone, the stock jax flash kernel wins BOTH
+    spatial levels (bhsd_flashjax 11.38 s vs bhsd+our-bh-kernel 11.56 s vs
+    r4 bshd baseline 11.71 s) — our bh kernel's standalone ds2 win was an
+    artifact of the transposes it saved, not kernel speed."""
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if not (on_tpu and d == 64 and sq == sk):
+        return "xla"
+    if _SPATIAL_OVERRIDE and sq >= 1024:
+        return _SPATIAL_OVERRIDE
+    if sq >= 1024 and sq % 512 == 0:
+        return "flash_jax"
+    return "xla"
+
+
 def attention_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    backend: Optional[str] = None) -> jnp.ndarray:
     """Attention on the (b, h, s, d) layout — the layout the flash kernels
@@ -130,7 +150,7 @@ def attention_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sk = k.shape[2]
     backend = backend or _DEFAULT_BACKEND
     if backend in ("auto", "packed"):
-        backend = _pick_backend_dims(sq, sk, d)
+        backend = _pick_backend_bhsd(sq, sk, d)
     if backend == "flash_jax":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
