@@ -40,13 +40,15 @@ from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
 
 def run_variant(tag: str, imgs, masks, dirs, poses_gl, train_ids, hold_ids,
                 steps: int, encoding: str, grad_type: str, rays: int,
-                samples: int, c2f: int):
+                samples: int, c2f: int, production_sizing: bool = False):
     on_tpu = jax.default_backend() in ("tpu", "axon")
     kw = dict(geometry_encoding=encoding, grad_type=grad_type)
     if encoding == "frequency":
-        # the TPU-fast MLP sizing measured in neus_c2f_r4.json
-        kw.update(geo_neurons=128 if on_tpu else 32,
-                  geo_hidden_layers=4 if on_tpu else 1)
+        # the TPU-fast MLP sizing measured in neus_c2f_r4.json;
+        # --production-sizing forces it off-chip too so a CPU quality A/B
+        # compares the fields as actually shipped (not a downsized stand-in)
+        kw.update(geo_neurons=128 if (on_tpu or production_sizing) else 32,
+                  geo_hidden_layers=4 if (on_tpu or production_sizing) else 1)
     cfg = NeusConfig(
         num_samples_per_ray=samples, train_num_rays=rays,
         max_train_num_rays=rays, dynamic_ray_sampling=False,
@@ -91,6 +93,9 @@ def main():
     ap.add_argument("--samples", type=int, default=256)
     ap.add_argument("--c2f", type=int, default=64)
     ap.add_argument("--tag", default="field_ab_r5")
+    ap.add_argument("--production-sizing", action="store_true",
+                    help="force the shipped TPU MLP sizing for the "
+                         "frequency field even off-chip (CPU quality A/B)")
     args = ap.parse_args()
 
     n_all = 20
@@ -110,7 +115,8 @@ def main():
         try:
             results.append(run_variant(
                 tag, imgs, masks, dirs, poses_gl, train_ids, hold_ids,
-                args.steps, enc, grad, args.rays, args.samples, args.c2f))
+                args.steps, enc, grad, args.rays, args.samples, args.c2f,
+                production_sizing=args.production_sizing))
         except Exception as e:
             row = {"variant": tag, "error": f"{type(e).__name__}: {e}"[:400]}
             print(json.dumps(row), flush=True)
