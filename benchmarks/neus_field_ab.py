@@ -76,6 +76,7 @@ def run_variant(tag: str, imgs, masks, dirs, poses_gl, train_ids, hold_ids,
         hold.append(psnr(np.clip(rgb, 0, 1), imgs[i]))
     out = {"variant": tag, "neus_field": encoding,
            "neus_grad_type": grad_type,
+           "platform": jax.default_backend(),
            "ms_per_step": round(ms, 1),
            "holdout_psnr_db": round(float(np.mean(hold)), 2),
            "steps": steps, "samples": samples, "rays": rays, "c2f": c2f,
@@ -96,7 +97,16 @@ def main():
     ap.add_argument("--production-sizing", action="store_true",
                     help="force the shipped TPU MLP sizing for the "
                          "frequency field even off-chip (CPU quality A/B)")
+    ap.add_argument("--cpu-quality", action="store_true",
+                    help="grad-matched off-chip QUALITY A/B: both fields "
+                         "with analytic_fwd grads (the FD-grad program is "
+                         "a >30 min XLA:CPU compile, and the SIGILL that "
+                         "forces FD on TPU is TPU-only), production "
+                         "frequency sizing.  ms/step rows are NOT "
+                         "TPU-indicative in this mode — only the PSNR is.")
     args = ap.parse_args()
+    if args.cpu_quality:
+        args.production_sizing = True
 
     n_all = 20
     imgs, masks = render_gt(args.res, n_all)
@@ -106,12 +116,18 @@ def main():
     focal = args.res / (2 * np.tan(np.deg2rad(30.0)))
     dirs = get_ray_directions(args.res, args.res, focal)
 
-    results = []
-    for tag, enc, grad in [
+    if args.cpu_quality:
+        variants = [("frequency_analytic", "frequency", "analytic_fwd"),
+                    ("hashgrid_analytic", "hashgrid", "analytic_fwd")]
+    else:
+        variants = [
             ("frequency_analytic", "frequency", "analytic_fwd"),
             # the reference field (videonvs.yaml hashgrid, FD grads — the
             # TPU compiler SIGILLs on analytic-inside-grad, CLAUDE.md)
-            ("hashgrid_fd", "hashgrid", "finite_difference")]:
+            ("hashgrid_fd", "hashgrid", "finite_difference")]
+
+    results = []
+    for tag, enc, grad in variants:
         try:
             results.append(run_variant(
                 tag, imgs, masks, dirs, poses_gl, train_ids, hold_ids,
@@ -123,8 +139,15 @@ def main():
             results.append(row)
 
     from benchmarks._io import write_json
-    write_json(os.path.join(_repo, "benchmarks", "results",
-                            f"neus_{args.tag}.json"), results)
+    out_path = os.path.join(_repo, "benchmarks", "results",
+                            f"neus_{args.tag}.json")
+    if args.cpu_quality and os.path.exists(out_path):
+        # append the off-chip quality rows to the on-chip ms/step rows so
+        # one artifact carries the whole A/B story
+        with open(out_path) as f:
+            prior = json.load(f)
+        results = prior + results
+    write_json(out_path, results)
 
 
 if __name__ == "__main__":

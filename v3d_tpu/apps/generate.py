@@ -57,7 +57,19 @@ def sample_one(input_path: str, checkpoint_path: Optional[str] = None,
         else:
             print("WARNING: no checkpoint given — using random weights "
                   "(output will be noise; for pipeline testing only)")
-            params = init_engine_params(engine, jax.random.PRNGKey(0), 512, 512)
+            from v3d_tpu.utils.params import cast_params
+
+            # ONE jitted program (eager flax init dispatches one tunnel
+            # round-trip per param — minutes for the 1.5B-param UNet) with
+            # the bf16 cast fused in: an f32-resident random init OOMs the
+            # 16GB chip once the bf16 working copies join it (see
+            # utils/params.py; this exact failure was RESOURCE_EXHAUSTED
+            # in the first full_asset run).
+            def _init(rng):
+                p = init_engine_params(engine, rng, 512, 512)
+                return cast_params(p) if bf16 else p
+
+            params = jax.jit(_init)(jax.random.PRNGKey(0))
 
     img = np.asarray(Image.open(input_path))
     image = preprocess_image(img, border_ratio=border_ratio, resolution=512,

@@ -125,21 +125,36 @@ class VideoDiffusionEngine:
 
         return self.sampler(denoiser_fn, noise, c, uc, rng=rng_samp)
 
+    def _decode_fn(self, n: int) -> Callable:
+        """One jitted program per chunk size (cached on the engine).
+
+        Jitting is load-bearing on a 16GB chip: the eager op-by-op decode
+        materialises every intermediate feature map at 512^2 and
+        RESOURCE_EXHAUSTs at decoding_t=18, while the fused program decodes
+        all 18 frames in 0.54 s well under HBM (bench.py's decode path)."""
+        cache = self.__dict__.setdefault("_decode_jit", {})
+        if n not in cache:
+            decoder = self.vae_decoder_ctor(n)
+
+            def fn(dec_params, chunk):
+                x = decoder.apply(dec_params, chunk / self.scale_factor)
+                return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+            cache[n] = jax.jit(fn)
+        return cache[n]
+
     def decode_latents(self, params: Dict, z: jnp.ndarray,
                        decoding_t: Optional[int] = None) -> jnp.ndarray:
         """Chunked temporal VAE decode (video_diffusion.py:183-211);
         returns frames in [0, 1], shape (t, H, W, 3)."""
         t = z.shape[0]
         decoding_t = min(decoding_t or t, t)
-        n_chunks = -(-t // decoding_t)
         outs = []
-        for i in range(n_chunks):
-            chunk = z[i * decoding_t:(i + 1) * decoding_t]
-            decoder = self.vae_decoder_ctor(chunk.shape[0])
-            x = decoder.apply(params["decoder"], chunk / self.scale_factor)
-            outs.append(x)
-        x = jnp.concatenate(outs, axis=0)
-        return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        for i in range(0, t, decoding_t):
+            chunk = z[i:i + decoding_t]
+            outs.append(self._decode_fn(chunk.shape[0])(params["decoder"],
+                                                        chunk))
+        return jnp.concatenate(outs, axis=0)
 
     def encode_first_stage(self, params: Dict, frames: jnp.ndarray,
                            rng: jax.Array) -> jnp.ndarray:
