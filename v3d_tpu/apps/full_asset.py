@@ -34,6 +34,9 @@ def run(input_path: str, output: str, checkpoint: str = None,
         mc_resolution: int = 192) -> dict:
     import numpy as np
 
+    from v3d_tpu.utils.misc import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # process-global: covers every stage
     os.makedirs(output, exist_ok=True)
     report = {"input": input_path, "checkpoint": checkpoint,
               "weights": "pretrained" if checkpoint else

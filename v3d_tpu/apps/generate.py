@@ -38,6 +38,9 @@ def sample_one(input_path: str, checkpoint_path: Optional[str] = None,
     from v3d_tpu.data.preprocess import preprocess_image
     from v3d_tpu.data.video_io import write_video
     from v3d_tpu.engines.builder import build_v3d_engine, init_engine_params
+    from v3d_tpu.utils.misc import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     if engine is None:
         engine = build_v3d_engine(

@@ -28,7 +28,9 @@ def train_from_video(video_path: str, output: str, iterations: int = 4000,
     from v3d_tpu.gs.losses import psnr
     from v3d_tpu.gs.ply import save_ply
     from v3d_tpu.gs.trainer import GSTrainConfig, GSTrainer
+    from v3d_tpu.utils.misc import enable_persistent_compile_cache
 
+    enable_persistent_compile_cache()
     frames = read_video(video_path).astype(np.float32) / 255.0
     t, h, w = frames.shape[:3]
     cams = orbit_cameras(t, radius=radius, elevation=elevation, fov_deg=fov,

@@ -48,6 +48,9 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
     from v3d_tpu.data.video_io import read_video
     from v3d_tpu.meshops.mcubes import isosurface
     from v3d_tpu.meshops.mesh import Mesh
+    from v3d_tpu.utils.misc import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
 
     frames = read_video(video_path).astype(np.float32) / 255.0
@@ -126,6 +129,13 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
 
     verts, faces = isosurface(sdf_fn, radius=radius,
                               resolution=mc_resolution)
+    if len(verts) == 0:
+        # degenerate fit (e.g. noise input): the SDF has no zero crossing.
+        # Export nothing rather than crash — the trainer state is still
+        # returned for inspection.
+        print("WARNING: isosurface is empty (no SDF zero crossing) — "
+              "skipping mesh export")
+        return trainer, Mesh(verts, faces)
     mesh = Mesh(verts, faces).auto_normal()
     # vertex colors from the radiance field (export_vertex_color, neus
     # export path models/neus.py:424-441)

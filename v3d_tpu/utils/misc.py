@@ -22,3 +22,24 @@ def default(val, d):
 
 def count_params(params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str:
+    """Point jax at the repo-local persistent compile cache (.jax_cache/).
+
+    The remote TPU compile service caches by HLO hash, but a local
+    persistent cache additionally skips the lowering/dispatch round-trip
+    entirely on later processes (the full VideoUNet program is a 10-13 min
+    cold compile; warm it is seconds).  Called by every CLI app entry
+    point; bench.py sets the same directory.
+    """
+    import os
+
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = os.path.join(repo, ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
