@@ -171,9 +171,11 @@ def main():
         "vector": jnp.ones((t, 768), jnp.float32),
     }
 
-    @jax.jit
+    # the engine's cached jitted program — the SAME compiled artifact the
+    # product CLI (apps/generate.py) runs, so CLI and bench share one
+    # persistent-cache entry
     def generate(params, rng, c, uc, noise):
-        return engine.sample_latents(params, rng, c, uc, 512, 512, noise=noise)
+        return engine.sample_latents_jit(params, rng, c, uc, noise)
 
     noise = jax.random.normal(jax.random.PRNGKey(1), (t, 64, 64, 4))
     # NOTE: sync via SCALAR host fetch — block_until_ready under-reports on

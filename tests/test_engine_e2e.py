@@ -78,6 +78,41 @@ def test_sample_jit_and_sharded(tiny):
 
 
 @pytest.mark.slow
+def test_jitted_entry_points_match_eager(tiny):
+    """The cached jitted programs the CLIs run (params as ARGUMENTS —
+    apps/generate.py, bench.py) must match the eager engine API bitwise-ish.
+    Also asserts the minimal-subtree param dicts the CLIs pass are
+    sufficient (the programs read only those keys)."""
+    engine, params = tiny
+    rng = jax.random.PRNGKey(11)
+    image = jnp.zeros((1, 64, 64, 3))
+
+    ce_e, cf_e = engine.encode_image(params, image, rng, 0.02)
+    ce_j, cf_j = engine.encode_image_jit(
+        {"clip": params["clip"], "encoder": params["encoder"]},
+        image, rng, 0.02)
+    np.testing.assert_allclose(np.asarray(ce_e), np.asarray(ce_j),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cf_e), np.asarray(cf_j),
+                               rtol=1e-5, atol=1e-6)
+
+    c, uc = engine.build_cond(ce_e, cf_e, 1, 300, 0.02)
+    noise = jax.random.normal(jax.random.PRNGKey(12),
+                              engine.latent_shape(64, 64))
+    z_e = engine.sample_latents(params, rng, c, uc, noise=noise)
+    z_j = engine.sample_latents_jit({"unet": params["unet"]}, rng, c, uc,
+                                    noise)
+    np.testing.assert_allclose(np.asarray(z_e), np.asarray(z_j),
+                               rtol=1e-4, atol=1e-5)
+
+    fs_e = engine.encode_first_stage(params, image, rng)
+    fs_j = engine.encode_first_stage_jit({"encoder": params["encoder"]},
+                                         image, rng)
+    np.testing.assert_allclose(np.asarray(fs_e), np.asarray(fs_j),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_training_loss(tiny):
     engine, params = tiny
     t = engine.num_frames

@@ -81,16 +81,42 @@ def sample_one(input_path: str, checkpoint_path: Optional[str] = None,
     rng = jax.random.PRNGKey(seed)
     r_enc, r_samp = jax.random.split(rng)
     t0 = time.time()
-    clip_emb, cond_frames = engine.encode_image(
-        params, jnp.asarray(image), r_enc, cond_aug)
+    # Jitted conditioning program (eager CLIP+VAE encode is hundreds of
+    # ~50 ms tunnel dispatches); pass only the subtrees each program reads
+    # so the compiled signatures (and persistent-cache entries) match
+    # bench.py's exactly.
+    clip_emb, cond_frames = engine.encode_image_jit(
+        {"clip": params["clip"], "encoder": params["encoder"]},
+        jnp.asarray(image), r_enc, cond_aug)
     c, uc = engine.build_cond(clip_emb, cond_frames, fps_id,
                               motion_bucket_id, cond_aug)
-    z = engine.sample_latents(params, r_samp, c, uc, 512, 512)
-    frames = engine.decode_latents(params, z, decoding_t=decoding_t)
-    frames = np.asarray(frames)
-    print(f"generated {len(frames)} frames in {time.time() - t0:.1f}s")
+    # f32 cond operands = the program bench.py compiles/caches (the UNet
+    # casts to its working dtype internally)
+    c = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), c)
+    uc = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), uc)
+    t_enc = time.time() - t0
 
-    frames_u8 = (frames * 255).astype(np.uint8)
+    # Precompute noise exactly as sample_latents would (split -> normal) so
+    # semantics match the eager path while the jitted program takes noise
+    # as an operand (bench.py signature).
+    r_noise, _ = jax.random.split(r_samp)
+    noise = jax.random.normal(r_noise, engine.latent_shape(512, 512))
+    t0s = time.time()
+    z = engine.sample_latents_jit({"unet": params["unet"]}, r_samp, c, uc,
+                                  noise)
+    np.asarray(z[0, 0, 0, 0])  # scalar host fetch: the honest sync (CLAUDE.md)
+    t_samp = time.time() - t0s
+    t0d = time.time()
+    frames = engine.decode_latents({"decoder": params["decoder"]}, z,
+                                   decoding_t=decoding_t)
+    # u8 on-device: fetching f32 frames is 56 MB over the ~110 MB/s tunnel,
+    # u8 is 14 MB
+    frames_u8 = np.asarray(
+        jnp.round(frames * 255.0).astype(jnp.uint8))
+    t_dec = time.time() - t0d
+    print(f"generated {len(frames_u8)} frames in {time.time() - t0:.1f}s "
+          f"(cond {t_enc:.1f}s, sample {t_samp:.1f}s, "
+          f"decode+fetch {t_dec:.1f}s)")
     if save:
         os.makedirs(output_folder, exist_ok=True)
         base = len(glob(os.path.join(output_folder, "*.mp4")))

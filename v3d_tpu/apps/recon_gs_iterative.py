@@ -51,17 +51,26 @@ def train_iterative(input_image: str, output: str, checkpoint: str = None,
             rng, r1, r2, r3 = jax.random.split(rng, 4)
             views = np.stack([np.asarray(trainer.render_view(k).image)
                               for k in range(t)])
-            z = engine.encode_first_stage(
-                params, jnp.asarray(views * 2 - 1), r1) / engine.scale_factor
+            z = engine.encode_first_stage_jit(
+                {"encoder": params["encoder"]},
+                jnp.asarray(views * 2 - 1), r1) / engine.scale_factor
             noisy = (np.sqrt(1 - resample_sigma**2) * z
                      + jax.random.normal(r2, z.shape) * resample_sigma)
             img = jnp.asarray(frames_f[0:1] * 2 - 1)
-            clip_emb, cond_frames = engine.encode_image(params, img, r3, 0.02)
+            # jitted engine programs with params as ARGUMENTS (the eager
+            # path closes the sampler scan over the 1.5B-param pytree and
+            # recompiles every call — see engine.sample_latents_jit)
+            clip_emb, cond_frames = engine.encode_image_jit(
+                {"clip": params["clip"], "encoder": params["encoder"]},
+                img, r3, 0.02)
             c, uc = engine.build_cond(clip_emb, cond_frames, 1, 300, 0.02)
-            z_new = engine.sample_latents(params, rng, c, uc, h, h,
-                                          noise=noisy)
-            new_frames = np.asarray(engine.decode_latents(params, z_new,
-                                                          decoding_t=6))
+            c = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), c)
+            uc = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), uc)
+            z_new = engine.sample_latents_jit(
+                {"unet": params["unet"]}, rng, c, uc,
+                jnp.asarray(noisy, jnp.float32))
+            new_frames = np.asarray(engine.decode_latents(
+                {"decoder": params["decoder"]}, z_new, decoding_t=6))
             trainer.images = jnp.asarray(new_frames)
             print(f"iter {i}: resampled {t} views via diffusion")
 

@@ -125,6 +125,42 @@ class VideoDiffusionEngine:
 
         return self.sampler(denoiser_fn, noise, c, uc, rng=rng_samp)
 
+    def sample_latents_jit(self, params: Dict, rng: jax.Array, c: Dict,
+                           uc: Dict, noise: jnp.ndarray) -> jnp.ndarray:
+        """Jitted ``sample_latents`` with params as ARGUMENTS (one cached
+        program on the engine).
+
+        Load-bearing on the tunneled chip: calling ``sample_latents``
+        eagerly makes the lax.scan sampler close over the 1.5B-param
+        pytree (inlined as compile-time constants — recompiles every
+        process, never hits the persistent compile cache) and pays ~50 ms
+        tunnel dispatch per surrounding op.  This program is the one
+        bench.py times (11.38 s warm); ``noise`` is precomputed by the
+        caller so the compiled signature is identical across entry points.
+        Pass the minimal params subtree ``{"unet": ...}`` to share one
+        persistent-cache entry everywhere.
+        """
+        if "_sample_jit" not in self.__dict__:
+            def generate(params, rng, c, uc, noise):
+                return self.sample_latents(params, rng, c, uc, noise=noise)
+
+            self.__dict__["_sample_jit"] = jax.jit(generate)
+        return self.__dict__["_sample_jit"](params, rng, c, uc, noise)
+
+    def encode_image_jit(self, params: Dict, image: jnp.ndarray,
+                         rng: jax.Array, cond_aug) -> Tuple[jnp.ndarray,
+                                                            jnp.ndarray]:
+        """Jitted ``encode_image`` (CLIP tower + VAE encode as ONE program;
+        eager it is hundreds of ~50 ms tunnel dispatches).  ``cond_aug`` is
+        passed as an array operand so changing it does not recompile."""
+        if "_encode_jit" not in self.__dict__:
+            def encode(params, image, rng, cond_aug):
+                return self.encode_image(params, image, rng, cond_aug)
+
+            self.__dict__["_encode_jit"] = jax.jit(encode)
+        return self.__dict__["_encode_jit"](
+            params, image, rng, jnp.asarray(cond_aug, jnp.float32))
+
     def _decode_fn(self, n: int) -> Callable:
         """One jitted program per chunk size (cached on the engine).
 
@@ -163,6 +199,16 @@ class VideoDiffusionEngine:
 
         moments = self.vae_encoder.apply(params["encoder"], frames)
         return self.scale_factor * gaussian_sample(rng, moments)
+
+    def encode_first_stage_jit(self, params: Dict, frames: jnp.ndarray,
+                               rng: jax.Array) -> jnp.ndarray:
+        """Jitted ``encode_first_stage`` (one program, params as args)."""
+        if "_encode_fs_jit" not in self.__dict__:
+            def encode_fs(params, frames, rng):
+                return self.encode_first_stage(params, frames, rng)
+
+            self.__dict__["_encode_fs_jit"] = jax.jit(encode_fs)
+        return self.__dict__["_encode_fs_jit"](params, frames, rng)
 
     # -- training ----------------------------------------------------------
     def training_cond(self, batch: Dict, num_frames: Optional[int] = None) -> Dict:
