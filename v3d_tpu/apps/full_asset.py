@@ -9,6 +9,10 @@ artifact is our measured counterpart.
 
     python -m v3d_tpu.apps.full_asset --input img.png --output asset/
     python -m v3d_tpu.apps.full_asset --input img.png --output asset/ --mesh
+    python -m v3d_tpu.apps.full_asset --input img.png --output assets/ \
+        --mesh --assets 2   # production steady-state: asset 2's row is the
+                            # amortized per-asset cost (asset 1 pays the
+                            # per-process compiles + executable loads)
 
 Without --checkpoint the generation stage runs random-init weights (real
 shapes/compute; pretrained ckpts are absent offline — the recon stages
@@ -31,7 +35,7 @@ import time
 def run(input_path: str, output: str, checkpoint: str = None,
         gs_iters: int = 4000, neus_steps: int = 3000, mesh: bool = False,
         num_steps: int = 25, tag: str = "r5",
-        mc_resolution: int = 192) -> dict:
+        mc_resolution: int = 192, assets: int = 1) -> dict:
     import numpy as np
 
     from v3d_tpu.utils.misc import enable_persistent_compile_cache
@@ -41,48 +45,72 @@ def run(input_path: str, output: str, checkpoint: str = None,
     report = {"input": input_path, "checkpoint": checkpoint,
               "weights": "pretrained" if checkpoint else
               "RANDOM-INIT (ckpts absent offline; wall-clock artifact only)",
-              "stages": {}}
+              "assets": []}
     t_all = time.time()
 
-    # ---- stage 1: image -> 18-view orbit video (readme step 3)
-    from v3d_tpu.apps.generate import sample_one
-
-    t0 = time.time()
-    frames, _engine, _params = sample_one(
-        input_path, checkpoint, num_steps=num_steps, output_folder=output,
-        save=True)
-    gen_s = time.time() - t0
-    # sample_one writes sequentially-numbered mp4s; take the newest
     from glob import glob
 
-    mp4s = sorted(glob(os.path.join(output, "*.mp4")), key=os.path.getmtime)
-    video_path = mp4s[-1]
-    report["stages"]["generate_18view_512"] = round(gen_s, 1)
-    print(f"[full_asset] generate: {gen_s:.1f}s -> {video_path}", flush=True)
-
-    # ---- stage 2: video -> 3DGS (readme step 4; recon_gs defaults = the
-    # shipped transient-free recipe at the reference budget)
+    from v3d_tpu.apps.generate import sample_one
     from v3d_tpu.apps.recon_gs import train_from_video
 
-    t0 = time.time()
-    train_from_video(video_path, os.path.join(output, "gs"),
-                     iterations=gs_iters)
-    gs_s = time.time() - t0
-    report["stages"]["gs_fit_4000"] = round(gs_s, 1)
-    print(f"[full_asset] 3DGS fit: {gs_s:.1f}s", flush=True)
+    # assets > 1 measures the production steady-state: asset 1 pays the
+    # per-process compiles and the compile-service executable (re)loads —
+    # both outside this framework's control and highly variable on the
+    # shared service (observed 104-625 s for the same cached generation
+    # program) — while asset 2+ reuses the loaded engine programs, so its
+    # row is the honest amortized per-asset cost a serving process sees.
+    engine = params = None
+    for i in range(assets):
+        stages = {}
+        t_asset = time.time()
+        a_out = output if assets == 1 else os.path.join(output, f"a{i}")
+        os.makedirs(a_out, exist_ok=True)
 
-    # ---- stage 3 (optional): video -> NeuS SDF -> mesh (readme step 5)
-    if mesh:
-        from v3d_tpu.apps.recon_neus import reconstruct
-
+        # ---- stage 1: image -> 18-view orbit video (readme step 3)
         t0 = time.time()
-        reconstruct(video_path, os.path.join(output, "mesh"),
-                    max_steps=neus_steps, mc_resolution=mc_resolution)
-        neus_s = time.time() - t0
-        report["stages"]["neus_fit_mesh"] = round(neus_s, 1)
-        print(f"[full_asset] NeuS fit+mesh: {neus_s:.1f}s", flush=True)
+        frames, engine, params = sample_one(
+            input_path, checkpoint, num_steps=num_steps,
+            output_folder=a_out, save=True, seed=23 + i,
+            engine=engine, params=params)
+        gen_s = time.time() - t0
+        # sample_one writes sequentially-numbered mp4s; take the newest
+        mp4s = sorted(glob(os.path.join(a_out, "*.mp4")),
+                      key=os.path.getmtime)
+        video_path = mp4s[-1]
+        stages["generate_18view_512"] = round(gen_s, 1)
+        print(f"[full_asset] a{i} generate: {gen_s:.1f}s -> {video_path}",
+              flush=True)
 
+        # ---- stage 2: video -> 3DGS (readme step 4; recon_gs defaults =
+        # the shipped transient-free recipe at the reference budget)
+        t0 = time.time()
+        train_from_video(video_path, os.path.join(a_out, "gs"),
+                         iterations=gs_iters, seed=i)
+        gs_s = time.time() - t0
+        stages[f"gs_fit_{gs_iters}"] = round(gs_s, 1)
+        print(f"[full_asset] a{i} 3DGS fit: {gs_s:.1f}s", flush=True)
+
+        # ---- stage 3 (optional): video -> NeuS SDF -> mesh (readme step 5)
+        if mesh:
+            from v3d_tpu.apps.recon_neus import reconstruct
+
+            t0 = time.time()
+            reconstruct(video_path, os.path.join(a_out, "mesh"),
+                        max_steps=neus_steps, mc_resolution=mc_resolution,
+                        seed=i)
+            neus_s = time.time() - t0
+            stages["neus_fit_mesh"] = round(neus_s, 1)
+            print(f"[full_asset] a{i} NeuS fit+mesh: {neus_s:.1f}s",
+                  flush=True)
+
+        stages["asset_total_s"] = round(time.time() - t_asset, 1)
+        report["assets"].append(stages)
+
+    # backwards-compatible top-level view = the LAST asset (the amortized
+    # one when assets > 1)
+    report["stages"] = report["assets"][-1]
     report["total_s"] = round(time.time() - t_all, 1)
+    report["per_asset_amortized_s"] = report["assets"][-1]["asset_total_s"]
     report["reference_claim_s"] = 180.0
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -107,11 +135,15 @@ def main():
     p.add_argument("--mc-resolution", type=int, default=192)
     p.add_argument("--mesh", action="store_true",
                    help="also run the NeuS mesh stage (readme step 5)")
+    p.add_argument("--assets", type=int, default=1,
+                   help="run the pipeline N times in one process; the last "
+                        "asset's row is the amortized production per-asset "
+                        "cost (asset 1 pays per-process compiles/loads)")
     p.add_argument("--tag", default="r5")
     args = p.parse_args()
     run(args.input, args.output, args.checkpoint, args.gs_iters,
         args.neus_steps, args.mesh, args.num_steps, args.tag,
-        args.mc_resolution)
+        args.mc_resolution, args.assets)
 
 
 if __name__ == "__main__":
