@@ -16,6 +16,10 @@ settles routing questions (CLAUDE.md):
   fused_decode    sampling + VAE decode in ONE jitted program (kills the
                   inter-program dispatch; the chip has one TensorCore, so
                   any win is dispatch/scheduling, not overlap)
+  split_ds1       shipped r5 routing (bhsd+flash_jax) + decoder skip-concat
+                  convs evaluated as two square convs at ds1 only (the
+                  640->320 convs XLA emits at ~43% MFU, ARCHITECTURE §4b)
+  split_all       same but at every decoder level
 
 (The channel-packed Pallas kernel is untestable on this toolchain: Mosaic
 requires minor block dims divisible by 128 or full-width, so a (bq, 64)
@@ -161,16 +165,22 @@ def main():
                          "bhsd_flashjax, fused_decode, bhsd_fused")
     args = ap.parse_args()
     from v3d_tpu.models import attention_blocks as ab
+    from v3d_tpu.models import layers as mlayers
     from v3d_tpu.ops import attention as attn
 
     engine, dec, params, dec_params, c, uc, noise = build()
     for v in args.variants.split(","):
         v = v.strip()
-        ab.set_proj_layout("bhsd" if v.startswith("bhsd") else "bshd")
+        ab.set_proj_layout(
+            "bhsd" if v.startswith(("bhsd", "split")) else "bshd")
         attn.set_spatial_override(
-            "flash_jax" if v in ("flashjax_ds1", "bhsd_flashjax") else None)
+            "flash_jax" if v in ("flashjax_ds1", "bhsd_flashjax",
+                                 "split_ds1", "split_all") else None)
+        mlayers.set_split_skip_conv(
+            {"split_ds1": "ds1", "split_all": "all"}.get(v, "0"))
         try:
-            if v in ("baseline", "flashjax_ds1", "bhsd", "bhsd_flashjax"):
+            if v in ("baseline", "flashjax_ds1", "bhsd", "bhsd_flashjax",
+                     "split_ds1", "split_all"):
                 time_two_program(v, engine, dec, params, dec_params, c, uc,
                                  noise)
             elif v in ("fused_decode", "bhsd_fused"):
@@ -184,6 +194,7 @@ def main():
         finally:
             attn.set_spatial_override(None)
             ab.set_proj_layout("bshd")
+            mlayers.set_split_skip_conv("0")
 
 
 if __name__ == "__main__":

@@ -107,6 +107,70 @@ class LayerNormF32(nn.Module):
         return out.astype(dtype)
 
 
+# --- skip-concat conv splitting -------------------------------------------
+# The UNet decoder's first conv per block consumes concat([h, skip]) — the r4
+# xplane trace shows XLA's 640->320 ds1 emitter at ~43% MFU while square
+# 320->320 convs run ~70% (ARCHITECTURE.md §4b).  conv is linear in input
+# channels, so conv(concat(a, b), W) == conv(a, W[..., :c1, :]) +
+# conv(b, W[..., c1:, :]) EXACTLY — two square convs on the good emitter.
+# Routing: "0" (off) / "ds1" (only the 640->320 blocks) / "all"; settable for
+# full-generation A/Bs (benchmarks/generation_variants.py) like the attention
+# backends.
+import os as _os
+
+_SPLIT_SKIP_CONV = _os.environ.get("V3D_SPLIT_SKIP_CONV", "0")
+
+
+def set_split_skip_conv(mode: str) -> None:
+    """Set skip-concat conv splitting: "0" | "ds1" | "all" (trace-time)."""
+    global _SPLIT_SKIP_CONV
+    assert mode in ("0", "ds1", "all"), mode
+    _SPLIT_SKIP_CONV = mode
+
+
+def split_skip_conv_mode() -> str:
+    return _SPLIT_SKIP_CONV
+
+
+class SplitInputConv2D(nn.Module):
+    """A 2D conv evaluated as two input-channel slabs sharing ONE kernel.
+
+    Param tree ({kernel, bias}, f32, HWIO) is identical to nn.Conv so
+    checkpoints/converters are unaffected; only the emitted HLO differs:
+    two convs (x[..., :split] and x[..., split:]) summed, which is exact
+    because convolution is linear in the input channels."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    split: int
+    padding: Sequence[Tuple[int, int]]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        assert 0 < self.split < cin, (self.split, cin)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        x = x.astype(dt)
+        k = kernel.astype(dt)
+        dn = jax.lax.conv_dimension_numbers(
+            (x.shape[0], x.shape[1], x.shape[2], self.split),
+            (kh, kw, self.split, self.features), ("NHWC", "HWIO", "NHWC"))
+        pad = [tuple(p) for p in self.padding]
+        out = jax.lax.conv_general_dilated(
+            x[..., :self.split], k[:, :, :self.split, :], (1, 1), pad,
+            dimension_numbers=dn)
+        out = out + jax.lax.conv_general_dilated(
+            x[..., self.split:], k[:, :, self.split:, :], (1, 1), pad,
+            dimension_numbers=dn)
+        return out + bias.astype(dt)
+
+
 def conv_nd(features: int, kernel_size, *, strides=None, padding="SAME",
             dtype=None, zero_init: bool = False, name: Optional[str] = None):
     kernel_init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
@@ -226,6 +290,10 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Optional[Dtype] = None
+    # Channel count of the first slab when the input is concat([h, skip]);
+    # lets in_conv run as two square convs (SplitInputConv2D) when the
+    # split-skip-conv routing is on.  None = plain conv.
+    in_split: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, emb):
@@ -243,8 +311,13 @@ class ResBlock(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = conv_nd(self.out_channels, ks, padding=pad, dtype=self.dtype,
-                    name="in_conv")(h)
+        if (self.in_split is not None and self.dims == 2
+                and not (self.up or self.down)):
+            h = SplitInputConv2D(self.out_channels, ks, self.in_split, pad,
+                                 dtype=self.dtype, name="in_conv")(h)
+        else:
+            h = conv_nd(self.out_channels, ks, padding=pad, dtype=self.dtype,
+                        name="in_conv")(h)
 
         if not self.skip_t_emb:
             emb_ch = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels

@@ -41,13 +41,15 @@ class VideoResBlock(nn.Module):
     merge_factor: float = 0.5
     use_scale_shift_norm: bool = False
     dtype: Optional[jnp.dtype] = None
+    in_split: Optional[int] = None  # see layers.ResBlock.in_split
 
     @nn.compact
     def __call__(self, x, emb, image_only_indicator=None):
         # x: ((b t), h, w, c); emb: ((b t), emb_ch)
         x = ResBlock(self.out_channels, dims=2,
                      use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=self.dtype, name="spatial")(x, emb)
+                     dtype=self.dtype, in_split=self.in_split,
+                     name="spatial")(x, emb)
         bt, h, w, c = x.shape
         t = self.num_frames
         b = bt // t
@@ -136,7 +138,7 @@ class VideoUNet(nn.Module):
     use_checkpoint: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    def _res(self, out_ch, t, name):
+    def _res(self, out_ch, t, name, in_split=None):
         cls = VideoResBlock
         if self.use_checkpoint:
             cls = nn.remat(cls)
@@ -145,7 +147,7 @@ class VideoUNet(nn.Module):
                    merge_strategy=self.merge_strategy,
                    merge_factor=self.merge_factor,
                    use_scale_shift_norm=self.use_scale_shift_norm,
-                   dtype=self.dtype, name=name)
+                   dtype=self.dtype, in_split=in_split, name=name)
 
     def _attn(self, ch, heads, t, name):
         cls = SpatialVideoTransformer
@@ -185,14 +187,16 @@ class VideoUNet(nn.Module):
                           name="label_emb_2")(nn.silu(y_emb))
             emb = emb + y_emb
 
-        def apply_layers(h, layers, prefix):
+        def apply_layers(h, layers, prefix, in_split=None):
             for li, spec in enumerate(layers):
                 kind = spec[0]
                 name = f"{prefix}_{li}"
                 if kind == "conv_in":
                     h = conv_nd(spec[1], (3, 3), dtype=self.dtype, name=name)(h)
                 elif kind == "res":
-                    h = self._res(spec[1], t, name)(h, emb, image_only_indicator)
+                    h = self._res(spec[1], t, name,
+                                  in_split=in_split if li == 0 else None)(
+                        h, emb, image_only_indicator)
                 elif kind == "attn":
                     h = self._attn(spec[1], spec[2], t, name)(
                         h, context, time_context, image_only_indicator)
@@ -210,9 +214,18 @@ class VideoUNet(nn.Module):
             h = apply_layers(h, layers, f"in_{bi}")
             hs.append(h)
         h = apply_layers(h, spec_mid, "mid")
+        from v3d_tpu.models.layers import split_skip_conv_mode
+        split_mode = split_skip_conv_mode()
         for bi, layers in enumerate(specs_out):
+            c1 = h.shape[-1]
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = apply_layers(h, layers, f"out_{bi}")
+            # Route the decoder's concat-input conv through two square convs
+            # where XLA's single-conv emitter is the bottleneck
+            # (ARCHITECTURE.md §4b: ds1 640->320 at ~43% MFU).
+            want_split = split_mode == "all" or (
+                split_mode == "ds1" and layers[0][1] == self.model_channels)
+            h = apply_layers(h, layers, f"out_{bi}",
+                             in_split=c1 if want_split else None)
 
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
