@@ -56,20 +56,53 @@ def main():
     if not xplanes:
         return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # Parse the xplane proto DIRECTLY (the tensorboard-plugin converter is
+    # broken in this env — protobuf descriptor mismatch; CLAUDE.md r4).
+    # Only the synchronous "XLA Ops" line counts: the "Async XLA Ops" line
+    # holds copy-start/done spans that OVERLAP compute (summing them
+    # overstates the step ~4x).
+    import collections
+    import re
 
-    for tool in ("framework_op_stats", "op_profile", "hlo_stats"):
-        try:
-            data, _ = raw_to_tool_data.xspace_to_tool_data(
-                xplanes, tool, {})
-            path = os.path.join(outdir, tool + ".json")
-            if isinstance(data, bytes):
-                data = data.decode("utf-8", "replace")
-            with open(path, "w") as f:
-                f.write(data if isinstance(data, str) else json.dumps(data))
-            print("wrote", path, flush=True)
-        except Exception as e:  # tool coverage differs across versions
-            print(f"{tool}: failed ({type(e).__name__}: {e})", flush=True)
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(open(xplanes[0], "rb").read())
+    for plane in space.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        cat = collections.Counter()
+        catn = collections.Counter()
+        named = collections.Counter()
+        total = 0.0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                md = plane.event_metadata[ev.metadata_id]
+                n = md.name
+                m = re.match(r"%?([a-zA-Z_\-]+)", n)
+                key = m.group(1) if m else n[:30]
+                ms = ev.duration_ps / 1e9 / 3.0
+                cat[key] += ms
+                catn[key] += 1
+                named[n[:110]] += ms
+                total += ms
+        print(f"\nXLA Ops total: {total:.1f} ms/step (3 steps averaged)")
+        for k, v in cat.most_common(25):
+            print(f"  {v:9.2f} ms  x{catn[k]//3:<5d} {k}")
+        print("\ntop individual ops:")
+        for k, v in named.most_common(15):
+            print(f"  {v:9.2f} ms  {k[:100]}")
+        path = os.path.join(outdir, "op_breakdown.json")
+        from benchmarks._io import write_json
+        write_json(path, {
+            "total_ms_per_step": round(total, 1),
+            "categories_ms": {k: round(v, 2) for k, v in cat.most_common(40)},
+            "counts_per_step": {k: catn[k] // 3 for k, _ in cat.most_common(40)},
+            "top_ops_ms": {k: round(v, 2) for k, v in named.most_common(40)},
+        })
+        print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":
