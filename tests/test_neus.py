@@ -464,3 +464,56 @@ def test_neus_training_coarse_to_fine_smoke():
     losses = [trainer.train_iter()["loss"] for _ in range(40)]
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_sdf_grid_matches_host_chunk_path():
+    """NeusTrainer.sdf_grid (on-device grid generation, one jitted program)
+    must equal evaluating the same host-built grid through geometry.apply —
+    it feeds isosurface(grid_fn=...) in the recon CLIs."""
+    import jax.numpy as jnp
+
+    from v3d_tpu.data.cameras import get_ray_directions, get_uniform_poses
+    from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
+
+    res = 8
+    poses = get_uniform_poses(2, 2.0, 0.0, opengl=True)
+    dirs = get_ray_directions(res, res, res / (2 * np.tan(np.deg2rad(30))))
+    images = np.ones((2, res, res, 3), np.float32) * 0.5
+    fg = np.ones((2, res, res), np.float32)
+    cfg = NeusConfig(num_samples_per_ray=16, train_num_rays=32,
+                     max_train_num_rays=32, dynamic_ray_sampling=False,
+                     lambda_normal=0.0, max_steps=10)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg, seed=0)
+
+    lo = np.array([-0.9, -1.0, -0.8], np.float32)
+    hi = np.array([0.7, 1.0, 0.9], np.float32)
+    n = 9
+    got = trainer.sdf_grid(lo, hi, n)
+    assert got.shape == (n, n, n)
+
+    axes = [np.linspace(lo[i], hi[i], n, dtype=np.float32) for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    want = np.asarray(trainer.geometry.apply(
+        trainer.params["geometry"], jnp.asarray(g), method="sdf",
+        level_mask=trainer._level_mask())).reshape(n, n, n)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_isosurface_grid_fn_matches_sdf_fn():
+    from v3d_tpu.meshops.mcubes import isosurface
+
+    def sphere(p):
+        return np.linalg.norm(p, axis=-1) - 0.5
+
+    def grid_fn(lo, hi, res):
+        axes = [np.linspace(lo[i], hi[i], res, dtype=np.float32)
+                for i in range(3)]
+        g = np.stack(np.meshgrid(*axes, indexing="ij"), -1)
+        return sphere(g.reshape(-1, 3)).reshape(res, res, res)
+
+    v1, f1 = isosurface(sphere, radius=1.0, resolution=24,
+                        coarse_resolution=12)
+    v2, f2 = isosurface(None, radius=1.0, resolution=24,
+                        coarse_resolution=12, grid_fn=grid_fn)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+    np.testing.assert_array_equal(f1, f2)

@@ -127,8 +127,13 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
                 level_mask=level_mask)))
         return np.concatenate(out)
 
+    # grid_fn generates the grid on-device (NeusTrainer.sdf_grid): at 384^3
+    # the sdf_fn chunk loop uploaded ~680 MB of coordinates through the
+    # tunnel across 216 eager dispatches; sdf_fn stays as the fallback for
+    # odd callers.
     verts, faces = isosurface(sdf_fn, radius=radius,
-                              resolution=mc_resolution)
+                              resolution=mc_resolution,
+                              grid_fn=trainer.sdf_grid)
     if len(verts) == 0:
         # degenerate fit (e.g. noise input): the SDF has no zero crossing.
         # Export nothing rather than crash — the trainer state is still

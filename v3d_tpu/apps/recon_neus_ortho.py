@@ -81,7 +81,8 @@ def reconstruct_ortho(root: str, object_name: str, output: str,
                 level_mask=level_mask)))
         return np.concatenate(out)
 
-    verts, faces = isosurface(sdf_fn, radius=radius, resolution=mc_resolution)
+    verts, faces = isosurface(sdf_fn, radius=radius, resolution=mc_resolution,
+                              grid_fn=trainer.sdf_grid)
     mesh = Mesh(verts, faces).auto_normal()
     level_mask = trainer._level_mask()
     cols = []

@@ -153,7 +153,8 @@ def run_neus(scene, args):
         return np.concatenate(out)
 
     verts, faces = isosurface(sdf_fn, radius=cfg.radius,
-                              resolution=args.mc_resolution)
+                              resolution=args.mc_resolution,
+                              grid_fn=trainer.sdf_grid)
     mesh = Mesh(verts, faces).auto_normal()
     obj_path = os.path.join(args.output, "mesh.obj")
     mesh.write_obj(obj_path)

@@ -155,21 +155,34 @@ def _weld(verts, faces, decimals: int = 6):
     return uniq, inv[faces]
 
 
-def isosurface(sdf_fn: Callable[[np.ndarray], np.ndarray], radius: float,
+def isosurface(sdf_fn: Optional[Callable[[np.ndarray], np.ndarray]],
+               radius: float,
                resolution: int = 256, coarse_resolution: int = 64,
-               threshold: float = 0.0, pad: float = 0.1):
+               threshold: float = 0.0, pad: float = 0.1,
+               grid_fn: Optional[Callable] = None):
     """Two-pass extraction (geometry.py:83-113): coarse grid finds the
-    occupied bounding box, refined grid meshes only that box."""
+    occupied bounding box, refined grid meshes only that box.
+
+    ``grid_fn(lo, hi, res) -> (res, res, res)`` evaluates a whole regular
+    grid at once when provided (e.g. NeusTrainer.sdf_grid, which generates
+    the grid on-device — avoids shipping res^3 x 3 coordinates to the
+    accelerator); otherwise ``sdf_fn(points (N,3)) -> (N,)`` is called on
+    host-built grids."""
     def grid(lo, hi, res):
         axes = [np.linspace(lo[i], hi[i], res, dtype=np.float32)
                 for i in range(3)]
         g = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
         return g, axes
 
+    def eval_grid(lo, hi, res):
+        if grid_fn is not None:
+            return np.asarray(grid_fn(lo, hi, res))
+        g, _ = grid(lo, hi, res)
+        return sdf_fn(g.reshape(-1, 3)).reshape(g.shape[:3])
+
     lo = np.array([-radius] * 3)
     hi = np.array([radius] * 3)
-    g, _ = grid(lo, hi, coarse_resolution)
-    coarse = sdf_fn(g.reshape(-1, 3)).reshape(g.shape[:3])
+    coarse = eval_grid(lo, hi, coarse_resolution)
     occ = coarse < threshold
     if not occ.any():
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
@@ -177,8 +190,7 @@ def isosurface(sdf_fn: Callable[[np.ndarray], np.ndarray], radius: float,
     cell = 2 * radius / (coarse_resolution - 1)
     lo2 = np.maximum(lo, np.array([i.min() for i in idx]) * cell - radius - pad)
     hi2 = np.minimum(hi, np.array([i.max() for i in idx]) * cell - radius + pad)
-    g2, _ = grid(lo2, hi2, resolution)
-    fine = sdf_fn(g2.reshape(-1, 3)).reshape(g2.shape[:3])
+    fine = eval_grid(lo2, hi2, resolution)
     # extract in index space, then rescale per-axis into the refined box
     verts, faces = marching_tets(fine, threshold, origin=(0.0, 0.0, 0.0),
                                  spacing=1.0)
