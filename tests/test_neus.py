@@ -517,3 +517,35 @@ def test_isosurface_grid_fn_matches_sdf_fn():
                         coarse_resolution=12, grid_fn=grid_fn)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_vertex_colors_matches_eager_loop():
+    """NeusTrainer.vertex_colors (one jitted padded-chunk program) must
+    equal the eager per-chunk geometry/texture applies it replaced in the
+    recon CLIs' mesh-export path."""
+    import jax.numpy as jnp
+
+    from v3d_tpu.data.cameras import get_ray_directions, get_uniform_poses
+    from v3d_tpu.nerf.system import NeusConfig, NeusTrainer
+
+    res = 8
+    poses = get_uniform_poses(2, 2.0, 0.0, opengl=True)
+    dirs = get_ray_directions(res, res, res / (2 * np.tan(np.deg2rad(30))))
+    images = np.ones((2, res, res, 3), np.float32) * 0.5
+    fg = np.ones((2, res, res), np.float32)
+    cfg = NeusConfig(num_samples_per_ray=16, train_num_rays=32,
+                     max_train_num_rays=32, dynamic_ray_sampling=False,
+                     lambda_normal=0.0, max_steps=10)
+    trainer = NeusTrainer(images, fg, dirs, poses, config=cfg, seed=0)
+
+    verts = np.random.RandomState(0).randn(101, 3).astype(np.float32) * 0.4
+    got = trainer.vertex_colors(verts, chunk=64)  # exercises the padded tail
+
+    level_mask = trainer._level_mask()
+    sdf, grad, feat = trainer.geometry.apply(
+        trainer.params["geometry"], jnp.asarray(verts),
+        eps=trainer._fd_eps(), level_mask=level_mask)
+    nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+    want = np.asarray(trainer.texture.apply(
+        trainer.params["texture"], feat, nrm))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)

@@ -95,7 +95,14 @@ def test_neus_mesh_export_pipeline(tmp_path):
 
     verts, faces = isosurface(sdf_fn, radius=1.0, resolution=32,
                               coarse_resolution=16)
+    # the CLI wiring since r5: on-device grid + jitted vertex colors
+    verts2, faces2 = isosurface(None, radius=1.0, resolution=32,
+                                coarse_resolution=16,
+                                grid_fn=trainer.sdf_grid)
+    assert abs(len(verts2) - len(verts)) <= max(8, len(verts) // 100)
     if len(verts):  # sphere-init guarantees a surface
-        mesh = Mesh(verts, faces).auto_normal()
+        mesh = Mesh(verts2, faces2).auto_normal()
+        mesh.vertex_colors = trainer.vertex_colors(verts2)
+        assert mesh.vertex_colors.shape == (len(verts2), 3)
         mesh.write_obj(str(tmp_path / "m.obj"))
         assert os.path.exists(tmp_path / "m.obj")

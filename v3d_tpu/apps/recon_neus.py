@@ -143,20 +143,8 @@ def reconstruct(video_path: str, output: str, max_steps: int = 3000,
         return trainer, Mesh(verts, faces)
     mesh = Mesh(verts, faces).auto_normal()
     # vertex colors from the radiance field (export_vertex_color, neus
-    # export path models/neus.py:424-441)
-    import jax.numpy as jnp
-
-    level_mask = trainer._level_mask()
-    cols = []
-    for s in range(0, len(verts), 65536):
-        pts = jnp.asarray(verts[s:s + 65536])
-        sdf, grad, feat = trainer.geometry.apply(
-            trainer.params["geometry"], pts, eps=trainer._fd_eps(),
-            level_mask=level_mask)
-        nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
-        rgb = trainer.texture.apply(trainer.params["texture"], feat, nrm)
-        cols.append(np.asarray(rgb))
-    mesh.vertex_colors = np.concatenate(cols)
+    # export path models/neus.py:424-441) — one jitted chunk program
+    mesh.vertex_colors = trainer.vertex_colors(verts)
     obj_path = os.path.join(output, "mesh.obj")
     mesh.write_obj(obj_path)
     mesh.write_glb(os.path.join(output, "mesh.glb"))

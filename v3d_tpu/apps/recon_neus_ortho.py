@@ -84,17 +84,8 @@ def reconstruct_ortho(root: str, object_name: str, output: str,
     verts, faces = isosurface(sdf_fn, radius=radius, resolution=mc_resolution,
                               grid_fn=trainer.sdf_grid)
     mesh = Mesh(verts, faces).auto_normal()
-    level_mask = trainer._level_mask()
-    cols = []
-    for s in range(0, len(verts), 65536):
-        pts = jnp.asarray(verts[s:s + 65536])
-        sdf, grad, feat = trainer.geometry.apply(
-            trainer.params["geometry"], pts, eps=trainer._fd_eps(),
-            level_mask=level_mask)
-        nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
-        cols.append(np.asarray(trainer.texture.apply(
-            trainer.params["texture"], feat, nrm)))
-    mesh.vertex_colors = np.concatenate(cols)
+    # one jitted chunk program (NeusTrainer.vertex_colors)
+    mesh.vertex_colors = trainer.vertex_colors(verts)
     obj_path = os.path.join(output, "mesh.obj")
     mesh.write_obj(obj_path)
     print(f"saved {obj_path} ({len(verts)} verts)")

@@ -531,6 +531,36 @@ class NeusTrainer:
         return 1 << int(np.floor(np.log2(n)))
 
     # ------------------------------------------------------------------
+    def vertex_colors(self, verts: np.ndarray,
+                      chunk: int = 65536) -> np.ndarray:
+        """RGB for mesh vertices from the radiance field (the NeuS export
+        path, models/neus.py:424-441): ONE jitted fixed-shape chunk program
+        (tail zero-padded) instead of eager per-chunk geometry/texture
+        applies — at ~1.4M verts the eager loop paid ~22 chunks x ~30 op
+        dispatches through the ~50 ms tunnel."""
+        if not hasattr(self, "_vcol_jit"):
+            @jax.jit
+            def _vcol(params, pts, eps, level_mask):
+                sdf, grad, feat = self.geometry.apply(
+                    params["geometry"], pts, eps=eps, level_mask=level_mask)
+                nrm = grad / (jnp.linalg.norm(grad, axis=-1,
+                                              keepdims=True) + 1e-10)
+                return self.texture.apply(params["texture"], feat, nrm)
+
+            self._vcol_jit = _vcol
+        lm = self._level_mask()
+        eps = jnp.asarray(self._fd_eps(), jnp.float32)
+        out = []
+        for s in range(0, len(verts), chunk):
+            seg = np.asarray(verts[s:s + chunk], np.float32)
+            pts = np.zeros((chunk, 3), np.float32)
+            pts[:len(seg)] = seg
+            rgb = np.asarray(self._vcol_jit(self.params, jnp.asarray(pts),
+                                            eps, lm))
+            out.append(rgb[:len(seg)])
+        return np.concatenate(out) if out else np.zeros((0, 3), np.float32)
+
+    # ------------------------------------------------------------------
     def render_image(self, c2w: np.ndarray, chunk: int = 4096,
                      view_idx: int = 0):
         """Full-frame render for validation (neus_videonvs.py:340-400).
